@@ -1,0 +1,140 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Tokenizer
+import graft.codec.VarintExpressions._
+
+/** BM25 parameters fixed by the project contract (BASELINE.md):
+  * k1=0.9, b=0.4, idf = ln((N−df+0.5)/(df+0.5)+1).
+  */
+case class Bm25Params(k1: Double = 0.9, b: Double = 0.4, blockSpan: Long = 8192)
+
+/** Inverted-index build as composable DataFrame transforms.
+  *
+  * This is the lexical re-expression of the reference's index pipeline
+  * (reference: colbert/indexing/collection_indexer.py:61-78 — encode →
+  * compress → IVF build): tokenize → postings(tf) → corpus stats →
+  * compressed posting blocks. Every transform is a declarative Catalyst
+  * plan — partial aggregation, shuffle partitioning and parquet pushdown
+  * come from the optimizer, replacing the reference's hand-rolled
+  * multiprocess launcher (colbert/infra/launcher.py).
+  *
+  * Scale notes (100 TB / 10^12 docs):
+  * - `postings` groups on (term, doc_id) — key space is per-document, so
+  *   stopword skew does NOT concentrate on one reducer (unlike a naive
+  *   groupBy(term)). Partial (map-side) aggregation collapses duplicates
+  *   before the shuffle.
+  * - `blocks` groups on (term, block_no) where block_no = doc_id/blockSpan:
+  *   a docId-RANGE block. A stopword term with 10^11 postings becomes
+  *   ~10^7 independent keys of ≤ blockSpan entries each — this is the
+  *   explicit skew handling ("salting" by doc range) required by the north
+  *   rule, with the bonus that the salt is semantically meaningful: blocks
+  *   align with doc-partitioned query shards.
+  * - Posting blocks are written repartitionByRange(term, block_no) +
+  *   sortWithinPartitions so parquet row-group min/max stats on `term`
+  *   give query-time partition pruning (the IVF-probe analog).
+  */
+object Bm25Index {
+
+  /** (doc_id, text, …) → (doc_id, term) — one row per token occurrence,
+    * after lowercase/split/truncate-220 (SURVEY §2.3 T2). */
+  def docTerms(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      explode(Tokenizer.tokenizeDoc(col("text"))).as("term"))
+
+  /** (term, doc_id, tf) — SURVEY §2.5 A4/A7. */
+  def postings(docs: DataFrame): DataFrame =
+    docTerms(docs)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("tf"))
+
+  /** (doc_id, dl) — doc length in tokens (reference doclens,
+    * colbert/indexing/collection_indexer.py:355). */
+  def docStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(Tokenizer.tokenizeDoc(col("text"))).as("dl"))
+
+  /** One-row (n_docs, avgdl) — broadcast-sized corpus stats (reference
+    * avg_doclen all_reduce, collection_indexer.py:133-183). */
+  def corpusStats(docStats: DataFrame): DataFrame =
+    docStats.agg(
+      count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+
+  /** (term, df, idf) — document frequency + Robertson idf. The df
+    * histogram is the lexical analog of the reference's codes bincount
+    * (collection_indexer.py:475). */
+  def termStats(postings: DataFrame, corpusStats: DataFrame): DataFrame =
+    postings
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(corpusStats))
+      .select(
+        col("term"),
+        col("df"),
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0).as("idf"))
+
+  /** tf-saturation term of BM25 — exact per (tf, dl) once avgdl is known. */
+  def tfNorm(tf: org.apache.spark.sql.Column, dl: org.apache.spark.sql.Column,
+             avgdl: org.apache.spark.sql.Column, p: Bm25Params): org.apache.spark.sql.Column =
+    tf.cast("double") * (p.k1 + 1.0) /
+      (tf.cast("double") + lit(p.k1) * (lit(1.0 - p.b) + lit(p.b) * dl.cast("double") / avgdl))
+
+  /** Compressed posting blocks:
+    * (term, block_no, n, doc_ids_enc, tfs_enc, dls_enc, block_max_tfnorm).
+    *
+    * docIds are delta+varint encoded (strictly increasing within a block),
+    * tf and dl plain varint. block_max_tfnorm is the block-max WAND bound
+    * (max over entries of the tf-saturation term; upper bound of any
+    * in-block score contribution is idf * block_max_tfnorm).
+    * Reference analog: residual-compressed chunks + IVF
+    * (colbert/indexing/codecs/residual.py:167-202, indexing/utils.py:8-64).
+    */
+  def blocks(postings: DataFrame, docStats: DataFrame, corpusStats: DataFrame,
+             p: Bm25Params = Bm25Params()): DataFrame = {
+    val withDl = postings
+      .join(docStats, "doc_id")
+      .crossJoin(broadcast(corpusStats))
+      .select(
+        col("term"),
+        col("doc_id"),
+        col("tf"),
+        col("dl"),
+        (col("doc_id") / p.blockSpan).cast("long").as("block_no"),
+        tfNorm(col("tf"), col("dl"), col("avgdl"), p).as("tfnorm"))
+    withDl
+      .groupBy(col("term"), col("block_no"))
+      .agg(
+        count(lit(1)).cast("int").as("n"),
+        sort_array(collect_list(struct(col("doc_id"), col("tf"), col("dl")))).as("entries"),
+        max(col("tfnorm")).as("block_max_tfnorm"))
+      .select(
+        col("term"),
+        col("block_no"),
+        col("n"),
+        delta_varint_encode(expr("transform(entries, e -> e.doc_id)")).as("doc_ids_enc"),
+        varint_encode(expr("transform(entries, e -> e.tf)")).as("tfs_enc"),
+        varint_encode(expr("transform(entries, e -> e.dl)")).as("dls_enc"),
+        col("block_max_tfnorm"))
+  }
+
+  /** Inverse of [[blocks]]: explode back to (term, doc_id, tf, dl). Used by
+    * the scorer; proves the codec round-trips inside one Catalyst plan. */
+  def decodeBlocks(blocks: DataFrame): DataFrame =
+    blocks
+      .select(
+        col("term"),
+        explode(arrays_zip(
+          delta_varint_decode(col("doc_ids_enc")).as("doc_id"),
+          varint_decode(col("tfs_enc")).as("tf"),
+          varint_decode(col("dls_enc")).as("dl"))).as("e"))
+      .select(
+        col("term"),
+        col("e.doc_id").as("doc_id"),
+        col("e.tf").as("tf"),
+        col("e.dl").as("dl"))
+}

@@ -1,0 +1,164 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Tokenizer
+import graft.codec.VarintExpressions._
+import graft.index.{Bm25Index, Bm25Params}
+
+/** Batch BM25 query execution over the posting-block index.
+  *
+  * Reference analog: Searcher.search / IndexScorer.rank
+  * (colbert/searcher.py:76-158, colbert/search/index_storage.py:87-194).
+  * The per-query Python loop (searcher.py:80-125) becomes ONE Spark job
+  * over the whole query set: queries are tiny → broadcast side of every
+  * join; postings are the big fact table and are only ever scanned with
+  * a pushed-down semi-join on term.
+  */
+object Bm25Search {
+
+  /** (qid, text) → (qid, term, qtf, idf): tokenize ≤32 terms (reference
+    * query_maxlen, settings.py:139), count query-term multiplicity, attach
+    * idf. Unknown terms drop out via the inner join (they cannot score). */
+  def compileQueries(queries: DataFrame, termStats: DataFrame): DataFrame =
+    queries
+      .select(col("qid"), explode(Tokenizer.tokenizeQuery(col("text"))).as("term"))
+      .groupBy(col("qid"), col("term"))
+      .agg(count(lit(1)).cast("int").as("qtf"))
+      .join(termStats.select(col("term"), col("idf")), "term")
+
+  /** Score hits: compiled query terms ⋈ decoded postings on term.
+    * The query side is broadcast (J1 in SURVEY §2.4 — the IVF probe). */
+  def hits(qterms: DataFrame, postingsWithDl: DataFrame, corpusStats: DataFrame,
+           p: Bm25Params = Bm25Params()): DataFrame =
+    postingsWithDl
+      .join(broadcast(qterms), "term")
+      .crossJoin(broadcast(corpusStats))
+      .select(
+        col("qid"),
+        col("term"),
+        col("doc_id"),
+        (col("qtf") * col("idf") *
+          Bm25Index.tfNorm(col("tf"), col("dl"), col("avgdl"), p)).as("partial"))
+
+  /** Deterministic per-(qid,doc) score: partials summed in canonical term
+    * order (sort_array + aggregate HOF) so the double sum is bit-identical
+    * at local[8] ≡ local[32] ≡ any cluster layout (SURVEY §7.4 risk 1).
+    * ≤32 terms per doc → O(1) per row. */
+  def scores(hits: DataFrame): DataFrame =
+    hits
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("term"), col("partial")))).as("ps"))
+      .select(
+        col("qid"),
+        col("doc_id"),
+        expr("aggregate(ps, 0d, (acc, x) -> acc + x.partial)").as("score"))
+
+  /** rank 1..k per qid, ordered by (score desc, doc_id asc) — the
+    * reference's stable tiebreak (server.py:34 re-sorts (-score, pid)). */
+  def topK(scores: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id").asc)
+    scores
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Full (unpruned) exact top-k from the compressed index. */
+  def searchFull(queries: DataFrame, index: Bm25IndexTables, k: Int,
+                 p: Bm25Params = Bm25Params()): DataFrame = {
+    val qterms = compileQueries(queries, index.termStats)
+    val decoded = Bm25Index.decodeBlocks(
+      index.blocks.join(broadcast(qterms.select(col("term")).distinct()), "term"))
+    topK(scores(hits(qterms, decoded, index.corpusStats, p)), k)
+  }
+
+  /** Distributed top-k via the bounded-heap Aggregator instead of a window
+    * (partial heaps merge map-side — the Spark-shaped version of the
+    * reference's per-thread heaps in filter_pids.cpp:27-123). Same rows as
+    * [[topK]]; preferable at scale because no per-qid global sort runs. */
+  def searchFullAgg(queries: DataFrame, index: Bm25IndexTables, k: Int,
+                    p: Bm25Params = Bm25Params()): DataFrame = {
+    val qterms = compileQueries(queries, index.termStats)
+    val decoded = Bm25Index.decodeBlocks(
+      index.blocks.join(broadcast(qterms.select(col("term")).distinct()), "term"))
+    TopKAggregator.topK(scores(hits(qterms, decoded, index.corpusStats, p)), k)
+  }
+
+  /** Two-stage block-max-WAND-style pruned search — exact results,
+    * reference analog of the staged pruning in index_storage.py:111-194:
+    *
+    * stage A (θ bound): exactly score only each query's highest-idf term's
+    *   postings; the kth best such single-term score is a LOWER bound θ on
+    *   the true kth best full score (any subset + partial scoring can only
+    *   under-estimate).
+    * stage B (candidates): per (qid, doc) upper bound = Σ_t qtf·idf_t ·
+    *   block_max_tfnorm(t, block(doc)); keep docs with ub ≥ θ. Every true
+    *   top-k doc survives (score ≤ ub and score ≥ true kth ≥ θ).
+    * stage C (exact): full scoring restricted to survivors, then top-k.
+    *
+    * At scale the win is in stage B reading only doc_ids_enc +
+    * block_max_tfnorm (parquet column pruning — no tf/dl decode) and in
+    * stage C's semi-join shrinking the exact-scoring input by orders of
+    * magnitude for selective queries.
+    */
+  def searchWand(queries: DataFrame, index: Bm25IndexTables, k: Int,
+                 p: Bm25Params = Bm25Params()): DataFrame = {
+    val qterms = compileQueries(queries, index.termStats).cache()
+    val qtermsOnly = broadcast(qterms.select(col("term")).distinct())
+    val probed = index.blocks.join(qtermsOnly, "term")
+
+    // Stage A: θ per qid from the rarest (max-idf, term-asc tiebreak) term.
+    val wRare = Window.partitionBy(col("qid")).orderBy(col("idf").desc, col("term").asc)
+    val rarest = qterms
+      .withColumn("rn", row_number().over(wRare))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    val rareDecoded = Bm25Index.decodeBlocks(
+      index.blocks.join(broadcast(rarest.select(col("term")).distinct()), "term"))
+    val rareScores = scores(hits(rarest, rareDecoded, index.corpusStats, p))
+    val wTheta = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id").asc)
+    val theta = rareScores
+      .withColumn("rn", row_number().over(wTheta))
+      .filter(col("rn") === k)
+      .select(col("qid"), col("score").as("theta"))
+
+    // Stage B: per-(qid, doc) upper bound from block maxima (docIds only).
+    val ubHits = probed
+      .select(col("term"), col("block_max_tfnorm"),
+        explode(delta_varint_decode(col("doc_ids_enc"))).as("doc_id"))
+      .join(broadcast(qterms.select(col("qid"), col("term"), col("qtf"), col("idf"))), "term")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("qtf") * col("idf") * col("block_max_tfnorm")).as("ub"))
+    val candidates = ubHits
+      .join(theta, Seq("qid"), "left")
+      .filter(col("theta").isNull || col("ub") >= col("theta"))
+      .select(col("qid"), col("doc_id"))
+
+    // Stage C: exact scoring of survivors only.
+    val decoded = Bm25Index.decodeBlocks(probed)
+    val exact = scores(
+      hits(qterms, decoded, index.corpusStats, p)
+        .join(candidates, Seq("qid", "doc_id"), "left_semi"))
+    topK(exact, k)
+  }
+}
+
+/** The three index tables a search session needs (reference analog:
+  * IndexLoader's ivf + doclens + codec, colbert/search/index_loader.py). */
+case class Bm25IndexTables(blocks: DataFrame, termStats: DataFrame, corpusStats: DataFrame)
+
+object Bm25IndexTables {
+  /** Build all tables lazily from a (doc_id, text) corpus — single
+    * Catalyst plan end-to-end, nothing materialized until an action. */
+  def fromDocs(docs: DataFrame, p: Bm25Params = Bm25Params()): Bm25IndexTables = {
+    val postings = Bm25Index.postings(docs)
+    val docStats = Bm25Index.docStats(docs)
+    val corpus = Bm25Index.corpusStats(docStats)
+    Bm25IndexTables(
+      blocks = Bm25Index.blocks(postings, docStats, corpus, p),
+      termStats = Bm25Index.termStats(postings, corpus),
+      corpusStats = corpus)
+  }
+}
