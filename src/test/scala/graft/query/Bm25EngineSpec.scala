@@ -1,0 +1,109 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.analysis.HtmlExtract
+import graft.corpus.Synthesizer
+import graft.eval.OracleBm25
+import graft.index.Bm25Params
+
+/** Rank-identity gate (SURVEY §5 items 3-4): engine top-k from the
+  * compressed block index must be rank- AND score-identical (bit-exact)
+  * to the exhaustive in-memory oracle, at every input partitioning, on
+  * every search path (full / WAND-pruned / heap-aggregated). Lexical
+  * analog of the reference e2e gate (colbert/tests/e2e_test.py:79). */
+class Bm25EngineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val NDocs = 600L
+  private val K = 10
+
+  private lazy val pagesDf = Synthesizer.pages(spark, NDocs, 5).cache()
+  private lazy val docsDf = pagesDf
+    .filter(col("lang") === "en" || col("lang") =!= "") // keep all; filter op exercised elsewhere
+    .select(col("url"), col("text"))
+  private lazy val docsWithIds = Synthesizer.withDocIds(pagesDf)
+    .select(col("doc_id"), col("text")).cache()
+
+  private lazy val docsLocal: Seq[(Long, String)] =
+    docsWithIds.as[(Long, String)].collect().toSeq.sortBy(_._1)
+
+  private lazy val queriesLocal: Seq[(Long, String)] =
+    Synthesizer.queries(spark, 40, NDocs).as[(Long, String)].collect().toSeq.sortBy(_._1)
+
+  private lazy val oracle: Map[Long, Seq[(Long, Int, Double)]] =
+    OracleBm25.topK(docsLocal, queriesLocal, K)
+
+  private def collectRanking(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Int, Double)]] =
+    df.select(col("qid"), col("doc_id"), col("rank"), col("score"))
+      .as[(Long, Long, Int, Double)]
+      .collect().toSeq
+      .groupBy(_._1)
+      .map { case (q, rs) => q -> rs.sortBy(_._3).map(r => (r._2, r._3, r._4)) }
+
+  private def queriesDf = queriesLocal.toDF("qid", "text")
+
+  test("searchFull is rank- and score-identical to the exhaustive oracle") {
+    val index = Bm25IndexTables.fromDocs(docsWithIds)
+    val got = collectRanking(Bm25Search.searchFull(queriesDf, index, K))
+    val nonEmpty = oracle.filter(_._2.nonEmpty)
+    assert(got.keySet == nonEmpty.keySet)
+    nonEmpty.foreach { case (q, want) =>
+      assert(got(q) == want, s"qid=$q\n got=${got(q)}\nwant=$want")
+    }
+  }
+
+  test("WAND-pruned path ≡ full path (pruning is exact)") {
+    val index = Bm25IndexTables.fromDocs(docsWithIds)
+    val full = collectRanking(Bm25Search.searchFull(queriesDf, index, K))
+    val wand = collectRanking(Bm25Search.searchWand(queriesDf, index, K))
+    assert(wand == full)
+  }
+
+  test("heap-Aggregator top-k ≡ window top-k") {
+    val index = Bm25IndexTables.fromDocs(docsWithIds)
+    val full = collectRanking(Bm25Search.searchFull(queriesDf, index, K))
+    val agg = collectRanking(Bm25Search.searchFullAgg(queriesDf, index, K))
+    assert(agg == full)
+  }
+
+  test("results are bit-identical under different input partitioning (local[8]≡local[32] analog)") {
+    val r3 = collectRanking(Bm25Search.searchFull(
+      queriesDf, Bm25IndexTables.fromDocs(docsWithIds.repartition(3)), K))
+    val r17 = collectRanking(Bm25Search.searchFull(
+      queriesDf, Bm25IndexTables.fromDocs(docsWithIds.repartition(17)), K))
+    assert(r3 == r17)
+  }
+
+  test("html extraction reproduces text byte-identically per url (input_hint invariant)") {
+    val bad = pagesDf
+      .select(col("url"), col("text"), HtmlExtract.html_extract(col("html")).as("extracted"))
+      .filter(col("text") =!= col("extracted"))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("block blockSpan variation does not change results (coalesce-equivalence analog)") {
+    val small = collectRanking(Bm25Search.searchFull(
+      queriesDf, Bm25IndexTables.fromDocs(docsWithIds, Bm25Params(blockSpan = 64)), K))
+    val large = collectRanking(Bm25Search.searchFull(
+      queriesDf, Bm25IndexTables.fromDocs(docsWithIds, Bm25Params(blockSpan = 1 << 20)), K))
+    assert(small == large)
+  }
+
+  test("randomized corpora: WAND ≡ full across 5 seeds (pruning never drops a top-k doc)") {
+    (1 to 5).foreach { seed =>
+      val docs = Synthesizer.pages(spark, 150, 3, seed = seed.toLong * 1000 + 7)
+      val ids = Synthesizer.withDocIds(docs).select(col("doc_id"), col("text"))
+      val qs = Synthesizer.queries(spark, 12, 150, seed = seed.toLong * 77 + 1)
+      val index = Bm25IndexTables.fromDocs(ids)
+      val full = collectRanking(Bm25Search.searchFull(qs, index, 5))
+      val wand = collectRanking(Bm25Search.searchWand(qs, index, 5))
+      assert(wand == full, s"seed=$seed")
+    }
+  }
+}
