@@ -68,10 +68,15 @@ case class TokenizeExpr(child: Expression, maxTerms: Int)
   override def prettyName: String = "graft_tokenize"
 
   override def nullSafeEval(input: Any): Any =
-    TokenizeExpr.eval(input.asInstanceOf[UTF8String], maxTerms)
+    TokenizeExpr.tokenizeEval(input.asInstanceOf[UTF8String], maxTerms)
 
+  // NOTE: the static entry point must NOT be named `eval` — the class
+  // inherits eval(InternalRow) from Expression, which suppresses scalac's
+  // static forwarder for a companion method of the same name and makes
+  // janino resolve the call to the wrong method (codegen falls back to
+  // interpreted mode silently).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.analysis.TokenizeExpr.eval($c, $maxTerms)")
+    defineCodeGen(ctx, ev, c => s"graft.analysis.TokenizeExpr.tokenizeEval($c, $maxTerms)")
 
   override protected def withNewChildInternal(newChild: Expression): TokenizeExpr =
     copy(child = newChild)
@@ -79,7 +84,7 @@ case class TokenizeExpr(child: Expression, maxTerms: Int)
 
 object TokenizeExpr {
   /** Called from generated code; operates on UTF8String directly. */
-  def eval(s: UTF8String, maxTerms: Int): ArrayData = {
+  def tokenizeEval(s: UTF8String, maxTerms: Int): ArrayData = {
     val terms = Tokenizer.tokenize(s.toString, maxTerms)
     new GenericArrayData(terms.map(t => UTF8String.fromString(t).asInstanceOf[Any]))
   }

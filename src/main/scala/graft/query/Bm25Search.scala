@@ -86,6 +86,25 @@ object Bm25Search {
     TopKAggregator.topK(scores(hits(qterms, decoded, index.corpusStats, p)), k)
   }
 
+  /** IVF-probe with real I/O pruning for a PERSISTED index: collect the
+    * (small, ≤32·|queries|) distinct query term set at the driver and push
+    * an In-filter into the parquet scan. The blocks table is written
+    * range-partitioned + sorted by term, so row-group min/max stats skip
+    * nearly every non-probed row group — the physical analog of the
+    * reference's IVF lookup touching only probed centroids
+    * (colbert/search/candidate_generation.py:22-37). Returns the same rows
+    * as [[searchFull]] on the unfiltered index. */
+  def searchPersisted(queries: DataFrame, index: Bm25IndexTables, k: Int,
+                      p: Bm25Params = Bm25Params()): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val terms = queries
+      .select(explode(Tokenizer.tokenizeQuery(col("text"))).as("term"))
+      .distinct().as[String].collect().toSeq
+    val probed = index.copy(blocks = index.blocks.filter(col("term").isin(terms: _*)))
+    searchFull(queries, probed, k, p)
+  }
+
   /** Two-stage block-max-WAND-style pruned search — exact results,
     * reference analog of the staged pruning in index_storage.py:111-194:
     *

@@ -1,0 +1,127 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.catalog.TableManifest
+import graft.corpus.Synthesizer
+import graft.eval.OracleBm25
+import graft.query.Bm25Search
+
+/** Persisted index build: staged commit + atomic manifests, checkpoint
+  * resume (FIXTURES.md §7; reference analog collection_indexer.py:87-95,
+  * 360-363), per-file lineage, scalable dense docId assignment, and
+  * search-over-parquet identity with the in-memory oracle. */
+class IndexBuilderSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val NDocs = 400L
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-index").toString
+
+  private lazy val pages = Synthesizer.pages(spark, NDocs, 6).cache()
+
+  test("docId assignment is dense 0..n-1 in url order, at any partitioning") {
+    Seq(2, 7).foreach { parts =>
+      val ids = IndexBuilder.assignDocIds(pages, parts)
+        .select(col("doc_id"), col("url")).as[(Long, String)].collect().sortBy(_._1)
+      assert(ids.map(_._1).toSeq == (0L until NDocs).toSeq, s"parts=$parts not dense")
+      assert(ids.map(_._2).toSeq == ids.map(_._2).sorted.toSeq, s"parts=$parts not url-ordered")
+    }
+  }
+
+  test("build commits all five stages with non-empty lineage; extraction audit is clean") {
+    val dir = tmpDir()
+    val reports = IndexBuilder.build(spark, pages, dir)
+    assert(reports.map(_.stage) == IndexBuilder.Stages)
+    assert(reports.forall(!_.skipped))
+    val manifests = IndexBuilder.manifests(dir)
+    assert(manifests.size == 5)
+    manifests.foreach { m =>
+      assert(m.files.nonEmpty, s"stage ${m.stage} has no files")
+      assert(m.rows == m.files.map(_.rows).sum, s"stage ${m.stage} row/lineage mismatch")
+    }
+    val docsM = manifests.find(_.stage == "docs").get
+    assert(docsM.config("extract_mismatches") == "0")
+    // only en docs indexed
+    val enCount = pages.filter(col("lang") === "en").count()
+    assert(docsM.rows == enCount)
+  }
+
+  test("re-run skips every committed stage (resume) with identical snapshot ids") {
+    val dir = tmpDir()
+    val first = IndexBuilder.build(spark, pages, dir)
+    val again = IndexBuilder.build(spark, pages, dir)
+    assert(again.forall(_.skipped), s"expected all skipped, got $again")
+    assert(again.map(_.snapshotId) == first.map(_.snapshotId))
+  }
+
+  test("partial build resumes from the last committed stage") {
+    val dir = tmpDir()
+    IndexBuilder.build(spark, pages, dir)
+    // simulate a crash after 'postings': drop the two downstream manifests
+    Seq("blocks", "termstats").foreach { s =>
+      Files.delete(TableManifest.manifestPath(IndexBuilder.stageDir(dir, s)))
+    }
+    val resumed = IndexBuilder.build(spark, pages, dir)
+    val byStage = resumed.map(r => r.stage -> r.skipped).toMap
+    assert(byStage("docs") && byStage("corpusstats") && byStage("postings"))
+    assert(!byStage("blocks") && !byStage("termstats"))
+  }
+
+  test("config change invalidates and rebuilds (no stale index reuse)") {
+    val dir = tmpDir()
+    IndexBuilder.build(spark, pages, dir)
+    val rebuilt = IndexBuilder.build(spark, pages, dir, Bm25Params(blockSpan = 128))
+    assert(rebuilt.forall(!_.skipped))
+  }
+
+  test("search over the persisted index (with term pushdown) ≡ exhaustive oracle") {
+    val dir = tmpDir()
+    IndexBuilder.build(spark, pages, dir)
+    val index = IndexBuilder.open(spark, dir)
+    val queries = Synthesizer.queries(spark, 25, NDocs)
+    val got = Bm25Search.searchPersisted(queries, index, 10)
+      .select(col("qid"), col("doc_id"), col("rank"), col("score"))
+      .as[(Long, Long, Int, Double)].collect().toSeq
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._3).map(r => (r._2, r._3, r._4)) }
+
+    val docsLocal = spark.read.parquet(IndexBuilder.stageDir(dir, "docs"))
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val queriesLocal = queries.as[(Long, String)].collect().toSeq
+    val want = OracleBm25.topK(docsLocal, queriesLocal, 10).filter(_._2.nonEmpty)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (q, w) => assert(got(q) == w, s"qid=$q") }
+  }
+
+  test("persisted blocks scan prunes by term (PushedFilters present in plan)") {
+    val dir = tmpDir()
+    IndexBuilder.build(spark, pages, dir)
+    val index = IndexBuilder.open(spark, dir)
+    val plan = index.blocks.filter(col("term").isin("w1", "w2"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"), plan)
+  }
+
+  test("build at different parallelism yields identical postings + identical search results") {
+    val dirA = tmpDir(); val dirB = tmpDir()
+    IndexBuilder.build(spark, pages, dirA, partitions = 3)
+    IndexBuilder.build(spark, pages, dirB, partitions = 11)
+    val pa = spark.read.parquet(IndexBuilder.stageDir(dirA, "postings"))
+      .as[(String, Long, Int)].collect().sorted.toSeq
+    val pb = spark.read.parquet(IndexBuilder.stageDir(dirB, "postings"))
+      .as[(String, Long, Int)].collect().sorted.toSeq
+    assert(pa == pb)
+    val queries = Synthesizer.queries(spark, 12, NDocs)
+    def run(d: String) = Bm25Search.searchPersisted(queries, IndexBuilder.open(spark, d), 5)
+      .select(col("qid"), col("doc_id"), col("rank"), col("score"))
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(run(dirA) == run(dirB))
+  }
+}
