@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.eval.Metrics
 import graft.index.Bm25Index
+import graft.multimodal.Media
+import graft.pipeline.{Dedup, Similarity, TextStats}
 import graft.query.{Bm25IndexTables, Bm25Search}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -92,8 +95,68 @@ object SparkEntry {
       Bm25Search.searchFullAgg(flagshipQueriesDf(s), index, 10)
         .select(col("qid"), col("doc_id"), col("rank"),
           round(col("score"), 4).as("score"))
-    })
+    }),
+
+    // ---- evaluation metrics over the flagship ranking (SURVEY §2.5 A9) ----
+    "eval_metrics" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ranking = Bm25Search.searchFull(
+        flagshipQueriesDf(s), Bm25IndexTables.fromDocs(d), 10)
+      Metrics.perQueryMetrics(
+        ranking.select(col("qid"), col("doc_id"), col("rank")),
+        Metrics.conjunctiveQrels(flagshipQueriesDf(s), d))
+    }),
+
+    "eval_summary" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ranking = Bm25Search.searchFull(
+        flagshipQueriesDf(s), Bm25IndexTables.fromDocs(d), 10)
+      Metrics.summary(Metrics.perQueryMetrics(
+        ranking.select(col("qid"), col("doc_id"), col("rank")),
+        Metrics.conjunctiveQrels(flagshipQueriesDf(s), d)))
+    }),
+
+    // ---- dedup family (training-data pipeline) ----
+    "dedup_exact" -> ((s, dir) => Dedup.canonicalMap(docs(s, dir))),
+
+    "dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir))),
+
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
+
+    "dedup_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
+
+    "neardup_embedding" -> ((s, dir) =>
+      Similarity.embeddingNearDups(
+        s.read.parquet(s"$dir/embeddings.parquet"), 0.4)),
+
+    // ---- similarity search over embeddings ----
+    "ann_brute" -> ((s, dir) =>
+      Similarity.bruteForceTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+
+    "ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+
+    // ---- text analysis ----
+    "text_token_counts" -> ((s, dir) => TextStats.tokenCounts(docs(s, dir))),
+
+    "text_quality" -> ((s, dir) => TextStats.qualityScore(docs(s, dir))),
+
+    "text_langid" -> ((s, dir) => TextStats.langId(docs(s, dir))),
+
+    "text_fingerprint" -> ((s, dir) => TextStats.fingerprints(docs(s, dir))),
+
+    // ---- multimodal plumbing (payload = utf-8 bytes of text; decode is a
+    //      deterministic stub — see graft.multimodal.Media) ----
+    "media_meta" -> ((s, dir) => Media.mediaMeta(mediaAssets(s, dir))),
+
+    "media_frames" -> ((s, dir) => Media.sampleFrames(mediaAssets(s, dir)))
   )
+
+  private def mediaAssets(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("asset_id"), encode(col("text"), "UTF-8").as("payload"))
 
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL. Tokenizer parity: Spark's code-point scanner ≡
@@ -184,6 +247,272 @@ object SparkEntry {
 
     "bm25_topk" -> Bm25TopkSql,
     "bm25_topk_wand" -> Bm25TopkSql,
-    "bm25_topk_agg" -> Bm25TopkSql
+    "bm25_topk_agg" -> Bm25TopkSql,
+
+    "eval_metrics" -> EvalMetricsSql,
+
+    "eval_summary" ->
+      s"""$EvalCte
+         |SELECT round(avg(rr10), 6) AS mrr10,
+         |       round(avg(recall10), 6) AS mean_recall10,
+         |       round(avg(success5), 6) AS success5_rate,
+         |       count(*)::BIGINT AS n_queries
+         |FROM pq_final""".stripMargin,
+
+    "dedup_exact" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, md5(array_to_string($ToksDoc, ' ')) AS h FROM documents
+         |), groups AS (
+         |  SELECT h, min(doc_id) AS canon_id, count(*)::BIGINT AS group_size
+         |  FROM keyed GROUP BY 1
+         |)
+         |SELECT k.doc_id, g.canon_id, g.group_size FROM keyed k JOIN groups g USING (h)""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksDoc AS toks FROM documents),
+         |shl AS (
+         |  SELECT doc_id,
+         |         [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] AS sh
+         |  FROM toks
+         |), shf AS (
+         |  SELECT doc_id, unnest(sh) AS s FROM shl WHERE len(sh) > 0
+         |), mh AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS h
+         |  FROM shf, range(0, 16) t(i) GROUP BY 1, 2
+         |), bands AS (
+         |  SELECT doc_id, (i // 4)::INT AS band,
+         |         md5((i // 4)::VARCHAR || '|' || string_agg(h, '' ORDER BY i)) AS key
+         |  FROM mh GROUP BY doc_id, i // 4
+         |), capped AS (
+         |  SELECT band, key FROM bands GROUP BY 1, 2 HAVING count(*) <= 1000
+         |), cb AS (
+         |  SELECT b.doc_id, b.band, b.key FROM bands b JOIN capped c USING (band, key)
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM cb a JOIN cb b USING (band, key) WHERE a.doc_id < b.doc_id""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksDoc AS toks FROM documents),
+         |terms AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+         |tf AS (
+         |  SELECT doc_id, term, count(*)::DOUBLE AS tf, md5(term) AS h
+         |  FROM terms GROUP BY 1, 2
+         |), w AS (
+         |  SELECT doc_id, j,
+         |         sum(tf * (strpos('0123456789abcdef', substr(h, j::INT, 1)) - 8.5)) AS w
+         |  FROM tf, range(1, 17) t(j) GROUP BY 1, 2
+         |), sig AS (
+         |  SELECT doc_id,
+         |         string_agg(CASE WHEN w > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+         |  FROM w GROUP BY 1
+         |), chunks AS (
+         |  SELECT doc_id, simhash, c, substr(simhash, (c*4+1)::INT, 4) AS cval
+         |  FROM sig, range(0, 4) t(c)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.simhash AS sa, b.simhash AS sb
+         |  FROM chunks a JOIN chunks b USING (c, cval) WHERE a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT doc_a, doc_b,
+         |         len(list_filter(range(1, 17), j -> substr(sa, j::INT, 1) <> substr(sb, j::INT, 1)))::INT AS hamming
+         |  FROM cand
+         |) WHERE hamming <= 3""".stripMargin,
+
+    "dedup_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksDoc AS toks FROM documents),
+         |shl AS (
+         |  SELECT doc_id,
+         |         [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] AS sh
+         |  FROM toks
+         |), shf AS (
+         |  SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(sh) AS s FROM shl)
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY 1
+         |), common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM shf a JOIN shf b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b,
+         |       round(c::DOUBLE / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE c::DOUBLE / (sa.n_sh + sb.n_sh - c) >= 0.5""".stripMargin,
+
+    "neardup_embedding" ->
+      s"""$IvfAssignCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
+         |FROM assign a JOIN assign b USING (bucket)
+         |WHERE a.vec_id < b.vec_id
+         |  AND round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4""".stripMargin,
+
+    "ann_brute" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding::DOUBLE[] AS q_emb FROM embeddings
+         |  WHERE vec_id IN (0, 1, 2, 3, 4)
+         |), s AS (
+         |  SELECT q.qid, e.vec_id,
+         |         list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]) AS sim
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid
+         |), r AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, vec_id ASC)::INT AS rank,
+         |         sim
+         |  FROM s
+         |)
+         |SELECT qid, vec_id, rank, round(sim, 4) AS sim FROM r WHERE rank <= 10""".stripMargin,
+
+    "ann_ivf" ->
+      s"""$IvfAssignCte,
+         |q AS (
+         |  SELECT vec_id AS qid, emb AS q_emb FROM e WHERE vec_id IN (0, 1, 2, 3, 4)
+         |), probes0 AS (
+         |  SELECT qid, q_emb, c_label,
+         |         list_cosine_similarity(q_emb, centroid) AS c_sim
+         |  FROM q, cent
+         |), probed AS (
+         |  SELECT qid, q_emb, c_label AS bucket FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY round(c_sim, 6) DESC, c_label ASC) AS rn
+         |    FROM probes0) WHERE rn <= 2
+         |), s AS (
+         |  SELECT p.qid, a.vec_id, list_cosine_similarity(p.q_emb, a.emb) AS sim
+         |  FROM assign a JOIN probed p USING (bucket) WHERE a.vec_id <> p.qid
+         |), r AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, vec_id ASC)::INT AS rank,
+         |         sim
+         |  FROM s
+         |)
+         |SELECT qid, vec_id, rank, round(sim, 4) AS sim FROM r WHERE rank <= 10""".stripMargin,
+
+    "text_token_counts" ->
+      s"""SELECT doc_id,
+         |       len(string_split(text, ' '))::INT AS ws_tokens,
+         |       len($ToksDoc)::INT AS word_tokens,
+         |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]'))::INT AS bpe_ish_tokens
+         |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         len($ToksDoc)::DOUBLE AS n_tok,
+         |         len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+         |           / greatest(len(text)::DOUBLE, 1.0) AS punct,
+         |         len(list_filter($ToksDoc, x -> list_contains(['the','a','of','and','to','in','is'], x)))::DOUBLE
+         |           / greatest(len($ToksDoc)::DOUBLE, 1.0) AS stop_ratio
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_tok::INT AS n_tokens,
+         |       round(punct, 6) AS punct_ratio,
+         |       round(stop_ratio, 6) AS stop_ratio,
+         |       round(greatest(0.0::DOUBLE,
+         |         1.0::DOUBLE - 2.0 * punct - abs(stop_ratio - 0.35)
+         |           - greatest(0.0::DOUBLE, (50.0 - n_tok) / 50.0)), 6) AS quality
+         |FROM f""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    len(list_filter($ToksDoc, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS en,
+         |    len(list_filter($ToksDoc, x -> list_contains(['der','die','das','und','ist','ein','zu'], x))) AS de,
+         |    len(list_filter($ToksDoc, x -> list_contains(['le','la','les','et','est','un','une'], x))) AS fr,
+         |    len(list_filter($ToksDoc, x -> list_contains(['el','los','las','y','es','un','una'], x))) AS es
+         |  FROM documents
+         |)
+         |SELECT doc_id, CASE
+         |  WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+         |  WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |  WHEN de >= fr AND de >= es THEN 'de'
+         |  WHEN fr >= es THEN 'fr'
+         |  ELSE 'es' END AS pred_lang
+         |FROM s""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, md5(array_to_string($ToksDoc, ' ')) AS fp FROM documents
+         |)
+         |SELECT doc_id, fp AS fingerprint,
+         |       (strpos('0123456789abcdef', substr(fp, 1, 1)) - 1)::INT AS shard
+         |FROM t""".stripMargin,
+
+    "media_meta" ->
+      s"""WITH a AS (
+         |  SELECT doc_id AS asset_id, octet_length(encode(text))::BIGINT AS nb FROM documents
+         |)
+         |SELECT asset_id, nb AS n_bytes,
+         |       (['jpeg','png','wav','mp4'])[(nb % 4 + 1)::INT] AS format,
+         |       (nb % 640 + 16)::INT AS width,
+         |       ((nb * 31) % 480 + 16)::INT AS height,
+         |       (nb % 16 + 1)::INT AS n_frames,
+         |       floor(log2(greatest(nb, 2)::DOUBLE))::INT AS size_bucket
+         |FROM a""".stripMargin,
+
+    "media_frames" ->
+      s"""WITH a AS (
+         |  SELECT doc_id AS asset_id, octet_length(encode(text))::BIGINT AS nb FROM documents
+         |), m AS (
+         |  SELECT asset_id, nb, (nb % 16 + 1)::INT AS n_frames FROM a
+         |)
+         |SELECT asset_id, f::INT AS frame_no,
+         |       floor(f * nb::DOUBLE / n_frames)::BIGINT AS byte_offset
+         |FROM (SELECT asset_id, nb, n_frames,
+         |             unnest(range(0, least(n_frames, 4))) AS f
+         |      FROM m)""".stripMargin
   )
+
+  /** Shared IVF CTE: double-cast embeddings, per-label mean centroids,
+    * nearest-centroid bucket assignment (ties → lower label; ordering on
+    * round(sim, 6) for cross-engine stability). */
+  private val IvfAssignCte: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+      |), cent AS (
+      |  SELECT label AS c_label, list(m ORDER BY d) AS centroid FROM (
+      |    SELECT label, d, avg(emb[d]) AS m FROM e, range(1, 65) t(d) GROUP BY 1, 2
+      |  ) GROUP BY label
+      |), assign0 AS (
+      |  SELECT vec_id, emb, c_label,
+      |         list_cosine_similarity(emb, centroid) AS c_sim
+      |  FROM e, cent
+      |), assign AS (
+      |  SELECT vec_id, emb, c_label AS bucket FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY round(c_sim, 6) DESC, c_label ASC) AS rn
+      |    FROM assign0) WHERE rn = 1
+      |)""".stripMargin
+
+  /** Eval CTE: extends the BM25 CTE with conjunctive qrels (doc relevant
+    * iff it contains EVERY query term) and per-query metrics. */
+  private val EvalCte: String =
+    s"""$Bm25Cte, nq AS (
+       |  SELECT qid, count(*) AS n_terms FROM qterms GROUP BY 1
+       |), rel AS (
+       |  SELECT qt.qid, tf.doc_id
+       |  FROM qterms qt JOIN nq USING (qid) JOIN tf ON tf.term = qt.term
+       |  GROUP BY qt.qid, tf.doc_id
+       |  HAVING count(DISTINCT qt.term) = max(n_terms)
+       |), nrel AS (
+       |  SELECT qid, count(*)::BIGINT AS n_rel FROM rel GROUP BY 1
+       |), hits10 AS (
+       |  SELECT r.qid, r.rank,
+       |         CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+       |  FROM ranked r LEFT JOIN rel ON rel.qid = r.qid AND rel.doc_id = r.doc_id
+       |  WHERE r.rank <= 10
+       |), pq AS (
+       |  SELECT qid,
+       |         round(coalesce(max(CASE WHEN is_rel = 1 THEN 1.0::DOUBLE / rank END), 0.0), 6) AS rr10,
+       |         sum(CASE WHEN is_rel = 1 THEN 1 ELSE 0 END)::BIGINT AS rel_in_10,
+       |         max(CASE WHEN is_rel = 1 AND rank <= 5 THEN 1 ELSE 0 END) AS success5
+       |  FROM hits10 GROUP BY 1
+       |), pq_final AS (
+       |  SELECT pq.qid, rr10,
+       |         round(rel_in_10::DOUBLE / n_rel, 6) AS recall10,
+       |         success5::INT AS success5, n_rel
+       |  FROM pq JOIN nrel USING (qid)
+       |)""".stripMargin
+
+  private val EvalMetricsSql: String =
+    s"""$EvalCte
+       |SELECT qid, rr10, recall10, success5, n_rel FROM pq_final""".stripMargin
 }

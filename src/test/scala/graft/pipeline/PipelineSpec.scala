@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.corpus.Synthesizer
+
+/** Training-data pipeline operators: planted duplicates must be found by
+  * every dedup method; similarity search must agree with a naive local
+  * recomputation. (Value-level parity with DuckDB is covered by the
+  * driver-style oracle run; these tests pin the SEMANTICS on corpora with
+  * known structure.) */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** 120 base docs + planted exact clones (300+i ~ i) and near-clones with
+    * one token appended (400+i ~ i). */
+  private lazy val docs = {
+    val base = Synthesizer.withDocIds(Synthesizer.pages(spark, 120, 4))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val exactClones = base.take(10).map { case (id, t) => (300L + id, t) }
+    // PREpend the edit: appending can vanish under the 220-token doc
+    // truncation, turning a "near" clone into an exact one
+    val nearClones = base.take(10).map { case (id, t) => (400L + id, "extraword " + t) }
+    (base ++ exactClones ++ nearClones).toDF("doc_id", "text").cache()
+  }
+
+  test("exact dedup finds exactly the planted clone groups") {
+    val dups = Dedup.exactDups(docs)
+      .select(col("doc_id"), col("canon_id")).as[(Long, Long)].collect().toSet
+    val expected = (0L until 10L).flatMap(i => Seq((i, i), (300L + i, i))).toSet
+    assert(dups == expected)
+  }
+
+  test("minhash LSH finds planted near-clones (1-token edit)") {
+    val pairs = Dedup.minhashPairs(docs)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    (0L until 10L).foreach { i =>
+      assert(pairs.contains((i, 300L + i)), s"exact clone pair $i missing")
+      assert(pairs.contains((i, 400L + i)), s"near clone pair $i missing")
+    }
+  }
+
+  test("n-gram jaccard scores planted pairs high and is symmetric-complete") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    (0L until 10L).foreach { i =>
+      assert(pairs.get((i, 300L + i)).contains(1.0), s"exact clone $i should have J=1")
+      assert(pairs.getOrElse((i, 400L + i), 0.0) > 0.8, s"near clone $i should have J>0.8")
+    }
+  }
+
+  test("simhash: exact clones have distance 0; pairs respect the hamming bound") {
+    val res = Dedup.simhashPairs(docs).as[(Long, Long, Int)].collect()
+    val asMap = res.map(r => (r._1, r._2) -> r._3).toMap
+    (0L until 10L).foreach { i =>
+      assert(asMap.get((i, 300L + i)).contains(0), s"exact clone $i distance != 0")
+    }
+    assert(res.forall(_._3 <= 3))
+  }
+
+  test("embedding near-dups: every emitted pair verifies against local cosine") {
+    val emb = (0 until 60).map { i =>
+      // two planted near-identical vectors: 50 ≈ 0
+      val base = Array.tabulate(8)(d => math.sin(i * 17 + d * 3).toFloat)
+      (i.toLong, i % 5, if (i == 50) Array.tabulate(8)(d => math.sin(d * 3).toFloat * 1.001f) else base)
+    }.toDF("vec_id", "label", "embedding")
+    val got = Similarity.embeddingNearDups(emb, 0.999)
+      .select(col("vec_a"), col("vec_b")).as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 50L)), s"planted near-identical pair missing: $got")
+  }
+
+  test("brute-force ANN: ranks agree with a local exhaustive recomputation") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, i % 4, Array.tabulate(8)(d => math.cos(i * 31 + d * 7).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "label", "embedding")
+    val got = Similarity.bruteForceTopK(emb, Seq(0L, 1L), 5)
+      .select(col("qid"), col("vec_id"), col("rank")).as[(Long, Long, Int)]
+      .collect().toSet
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val byId = vecs.map(v => v._1 -> v._3).toMap
+    val want = Seq(0L, 1L).flatMap { q =>
+      vecs.filter(_._1 != q)
+        .map(v => (v._1, cos(byId(q), v._3)))
+        .sortBy { case (id, s) => (-math.rint(s * 1e6) / 1e6, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, _), r) => (q, id, r + 1) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("IVF ANN returns a subset of brute-force candidates with correct sims") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ivf = Similarity.ivfTopK(emb, Seq(0L, 1L, 2L), 10)
+      .select(col("qid"), col("vec_id"), col("sim")).as[(Long, Long, Double)].collect()
+    val brute = Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 500)
+      .select(col("qid"), col("vec_id"), col("sim")).as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    ivf.foreach { case (q, v, s) =>
+      assert(brute.get((q, v)).contains(s), s"sim mismatch for ($q,$v)")
+    }
+  }
+}
