@@ -97,6 +97,35 @@ object SparkEntry {
           round(col("score"), 4).as("score"))
     }),
 
+    // restricted search: ranks assigned within an allowed docId set
+    // (SURVEY §2.2 P1/P2)
+    "bm25_topk_restricted" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val index = Bm25IndexTables.fromDocs(d)
+      Bm25Search.searchRestricted(flagshipQueriesDf(s), index, 10,
+        d.filter(col("doc_id") % 3 === 0))
+        .select(col("qid"), col("doc_id"), col("rank"),
+          round(col("score"), 4).as("score"))
+    }),
+
+    // union of two rankings, best score per (qid, doc), re-ranked
+    // (SURVEY §2.8 E2)
+    "ranking_merge" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val index = Bm25IndexTables.fromDocs(d)
+      val a = Bm25Search.searchRestricted(flagshipQueriesDf(s), index, 10,
+        d.filter(col("doc_id") % 3 === 0))
+      val b = Bm25Search.searchRestricted(flagshipQueriesDf(s), index, 10,
+        d.filter(col("doc_id") % 3 =!= 0))
+      Bm25Search.mergeRankings(Seq(a, b), 10)
+        .select(col("qid"), col("doc_id"), col("rank"),
+          round(col("score"), 4).as("score"))
+    }),
+
+    // docs→passages sliding-window segmentation (SURVEY §2.3 T3)
+    "doc_passages" -> ((s, dir) =>
+      graft.analysis.Passages.segment(docs(s, dir), 64, 32)),
+
     // ---- evaluation metrics over the flagship ranking (SURVEY §2.5 A9) ----
     "eval_metrics" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -249,6 +278,54 @@ object SparkEntry {
     "bm25_topk_wand" -> Bm25TopkSql,
     "bm25_topk_agg" -> Bm25TopkSql,
 
+    "bm25_topk_restricted" ->
+      s"""$Bm25Cte
+         |SELECT qid, doc_id, rank, score FROM (
+         |  SELECT qid, doc_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC)::INT AS rank,
+         |         round(score, 4) AS score
+         |  FROM scores WHERE doc_id % 3 = 0
+         |) WHERE rank <= 10""".stripMargin,
+
+    "ranking_merge" ->
+      s"""$Bm25Cte, ra AS (
+         |  SELECT qid, doc_id, score FROM (
+         |    SELECT qid, doc_id, score,
+         |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
+         |    FROM scores WHERE doc_id % 3 = 0) WHERE rnk <= 10
+         |), rb AS (
+         |  SELECT qid, doc_id, score FROM (
+         |    SELECT qid, doc_id, score,
+         |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
+         |    FROM scores WHERE doc_id % 3 <> 0) WHERE rnk <= 10
+         |), u AS (
+         |  SELECT qid, doc_id, max(score) AS score
+         |  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1, 2
+         |)
+         |SELECT qid, doc_id, rank, round(score, 4) AS score FROM (
+         |  SELECT qid, doc_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC)::INT AS rank,
+         |         score
+         |  FROM u
+         |) WHERE rank <= 10""".stripMargin,
+
+    "doc_passages" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksDoc AS toks FROM documents),
+         |st AS (
+         |  SELECT doc_id, toks,
+         |    CASE WHEN len(toks) <= 64 THEN [1]
+         |         ELSE [i*32 + 1 for i in range(0, (len(toks) - 33) // 32 + 1)] END AS starts
+         |  FROM toks
+         |), ex AS (
+         |  SELECT doc_id, toks, unnest(starts) AS s,
+         |         generate_subscripts(starts, 1) AS idx
+         |  FROM st
+         |)
+         |SELECT doc_id, (idx - 1)::INT AS passage_no,
+         |       array_to_string(toks[s:s+63], ' ') AS passage_text,
+         |       least(len(toks) - s + 1, 64)::INT AS n_tokens
+         |FROM ex""".stripMargin,
+
     "eval_metrics" -> EvalMetricsSql,
 
     "eval_summary" ->
@@ -277,14 +354,15 @@ object SparkEntry {
          |), shf AS (
          |  SELECT doc_id, unnest(sh) AS s FROM shl WHERE len(sh) > 0
          |), mh AS (
-         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS h
-         |  FROM shf, range(0, 16) t(i) GROUP BY 1, 2
+         |  SELECT doc_id, (g*4 + k)::INT AS i,
+         |         min(substr(md5(g::VARCHAR || '|' || s), (k*8 + 1)::INT, 8)) AS h
+         |  FROM shf, range(0, 4) tg(g), range(0, 4) tk(k) GROUP BY 1, 2
          |), bands AS (
          |  SELECT doc_id, (i // 4)::INT AS band,
          |         md5((i // 4)::VARCHAR || '|' || string_agg(h, '' ORDER BY i)) AS key
          |  FROM mh GROUP BY doc_id, i // 4
          |), capped AS (
-         |  SELECT band, key FROM bands GROUP BY 1, 2 HAVING count(*) <= 1000
+         |  SELECT band, key FROM bands GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000
          |), cb AS (
          |  SELECT b.doc_id, b.band, b.key FROM bands b JOIN capped c USING (band, key)
          |)
@@ -300,13 +378,13 @@ object SparkEntry {
          |), w AS (
          |  SELECT doc_id, j,
          |         sum(tf * (strpos('0123456789abcdef', substr(h, j::INT, 1)) - 8.5)) AS w
-         |  FROM tf, range(1, 17) t(j) GROUP BY 1, 2
+         |  FROM tf, range(1, 33) t(j) GROUP BY 1, 2
          |), sig AS (
          |  SELECT doc_id,
          |         string_agg(CASE WHEN w > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
          |  FROM w GROUP BY 1
          |), chunks AS (
-         |  SELECT doc_id, simhash, c, substr(simhash, (c*4+1)::INT, 4) AS cval
+         |  SELECT doc_id, simhash, c, substr(simhash, (c*8+1)::INT, 8) AS cval
          |  FROM sig, range(0, 4) t(c)
          |), cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -315,7 +393,7 @@ object SparkEntry {
          |)
          |SELECT doc_a, doc_b, hamming FROM (
          |  SELECT doc_a, doc_b,
-         |         len(list_filter(range(1, 17), j -> substr(sa, j::INT, 1) <> substr(sb, j::INT, 1)))::INT AS hamming
+         |         len(list_filter(range(1, 33), j -> substr(sa, j::INT, 1) <> substr(sb, j::INT, 1)))::INT AS hamming
          |  FROM cand
          |) WHERE hamming <= 3""".stripMargin,
 

@@ -1,0 +1,27 @@
+package graft
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import graft.corpus.Synthesizer
+import graft.index.IndexBuilder
+object StageProbe {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("PROBE_DOCS", "500000").toLong
+    for (cpus <- sys.env.getOrElse("PROBE_CPUS", "8,32").split(",").map(_.trim.toInt)) {
+      val spark = SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus.toString)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      // warmup
+      IndexBuilder.build(spark, Synthesizer.pages(spark, 2000, cpus),
+        Files.createTempDirectory(s"warm-$cpus").toString, auditExtraction = false)
+      val dir = Files.createTempDirectory(s"probe-$cpus").toString
+      val t0 = System.nanoTime()
+      val reps = IndexBuilder.build(spark, Synthesizer.pages(spark, n, cpus * 4), dir,
+        auditExtraction = false)
+      val total = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE cpus=$cpus total=$total%.1f " +
+        reps.map(r => f"${r.stage}=${r.seconds}%.1f").mkString(" "))
+      spark.stop()
+    }
+  }
+}

@@ -83,9 +83,68 @@ case class TokenizeExpr(child: Expression, maxTerms: Int)
 }
 
 object TokenizeExpr {
-  /** Called from generated code; operates on UTF8String directly. */
+
+  /** Called from generated code; single pass over the raw UTF-8 bytes.
+    *
+    * The tokenizer is THE hot path of index build (hundreds of millions of
+    * calls per corpus scan), so this avoids the String round-trip of the
+    * reference implementation above: ASCII letters/digits are lowercased
+    * byte-wise into a reusable buffer and emitted as UTF8String copies; any
+    * token containing a non-ASCII lead byte falls back to the codepoint
+    * scanner for exactly that token (identical semantics, property-tested
+    * against [[Tokenizer.tokenize]]). Allocation per token: one byte[]
+    * (inside UTF8String) — no UTF-16 decode, no intermediate String.
+    */
   def tokenizeEval(s: UTF8String, maxTerms: Int): ArrayData = {
-    val terms = Tokenizer.tokenize(s.toString, maxTerms)
-    new GenericArrayData(terms.map(t => UTF8String.fromString(t).asInstanceOf[Any]))
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[Any](math.min(maxTerms, 32))
+    var buf = new Array[Byte](32)
+    var bl = 0        // current token length in buf
+    var ascii = true  // current token is pure ASCII
+    var i = 0
+    def emit(): Unit = {
+      if (bl > 0 && out.size < maxTerms) {
+        if (ascii) {
+          out.add(UTF8String.fromBytes(java.util.Arrays.copyOf(buf, bl)))
+        } else {
+          // rare path: the buffered segment may contain non-ASCII
+          // separators/case — delegate the WHOLE segment to the codepoint
+          // scanner and emit every token it produces
+          val str = new String(buf, 0, bl, java.nio.charset.StandardCharsets.UTF_8)
+          val toks = Tokenizer.tokenize(str, maxTerms - out.size)
+          var t = 0
+          while (t < toks.length) { out.add(UTF8String.fromString(toks(t))); t += 1 }
+        }
+      }
+      bl = 0; ascii = true
+    }
+    while (i < n && out.size < maxTerms) {
+      val b = bytes(i)
+      if (b >= 0) { // ASCII
+        val isUpper = b >= 'A' && b <= 'Z'
+        val isAlnum = isUpper || (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+        if (isAlnum) {
+          if (bl == buf.length) buf = java.util.Arrays.copyOf(buf, bl * 2)
+          buf(bl) = if (isUpper) (b + 32).toByte else b
+          bl += 1
+        } else emit()
+        i += 1
+      } else {
+        // non-ASCII lead/continuation: copy the whole multi-byte sequence
+        // into the token buffer; classification happens in the fallback
+        var len = 1
+        val u = b & 0xff
+        if (u >= 0xF0) len = 4 else if (u >= 0xE0) len = 3 else if (u >= 0xC0) len = 2
+        if (bl + len > buf.length) buf = java.util.Arrays.copyOf(buf, (bl + len) * 2)
+        var j = 0
+        while (j < len && i + j < n) { buf(bl + j) = bytes(i + j); j += 1 }
+        bl += j
+        ascii = false
+        i += len
+      }
+    }
+    emit()
+    new GenericArrayData(out.toArray)
   }
 }

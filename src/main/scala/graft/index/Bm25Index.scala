@@ -51,6 +51,21 @@ object Bm25Index {
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).cast("int").as("tf"))
 
+  /** (term, doc_id, tf, dl) — postings carrying the doc length; NO global
+    * aggregation. tf is counted inside each document by the term_counts
+    * expression (map-phase, O(dl log dl) per row — see
+    * [[graft.analysis.TermCountsExpr]]) and dl rides along for free, so
+    * the whole transform is a narrow scan-speed projection; the ONLY
+    * shuffle in the postings build is the layout repartition that follows.
+    * At web scale this removes a 10^11-group hash aggregation AND the
+    * doc-stats join from the hot path. */
+  def postingsWithDl(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), Tokenizer.tokenizeDoc(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(graft.analysis.TermCounts.term_counts(col("toks"))).as("e"))
+      .select(col("e.term").as("term"), col("doc_id"), col("e.tf").as("tf"), col("dl"))
+
   /** (doc_id, dl) — doc length in tokens (reference doclens,
     * colbert/indexing/collection_indexer.py:355). */
   def docStats(docs: DataFrame): DataFrame =
@@ -94,33 +109,29 @@ object Bm25Index {
     * Reference analog: residual-compressed chunks + IVF
     * (colbert/indexing/codecs/residual.py:167-202, indexing/utils.py:8-64).
     */
-  def blocks(postings: DataFrame, docStats: DataFrame, corpusStats: DataFrame,
-             p: Bm25Params = Bm25Params()): DataFrame = {
-    val withDl = postings
-      .join(docStats, "doc_id")
-      .crossJoin(broadcast(corpusStats))
+  def blocks(postingsWithDl: DataFrame, corpusStats: DataFrame,
+             p: Bm25Params): DataFrame =
+    postingsWithDl
       .select(
         col("term"),
-        col("doc_id"),
-        col("tf"),
-        col("dl"),
         (col("doc_id") / p.blockSpan).cast("long").as("block_no"),
-        tfNorm(col("tf"), col("dl"), col("avgdl"), p).as("tfnorm"))
-    withDl
+        col("doc_id"), col("tf"), col("dl"))
       .groupBy(col("term"), col("block_no"))
-      .agg(
-        count(lit(1)).cast("int").as("n"),
-        sort_array(collect_list(struct(col("doc_id"), col("tf"), col("dl")))).as("entries"),
-        max(col("tfnorm")).as("block_max_tfnorm"))
+      .agg(collect_list(struct(col("doc_id"), col("tf"), col("dl"))).as("entries"))
+      .crossJoin(broadcast(corpusStats.select(col("avgdl"))))
+      // one fused pass: sort + delta+varint + block-max (BlockEncodeExpr)
       .select(
         col("term"),
         col("block_no"),
-        col("n"),
-        delta_varint_encode(expr("transform(entries, e -> e.doc_id)")).as("doc_ids_enc"),
-        varint_encode(expr("transform(entries, e -> e.tf)")).as("tfs_enc"),
-        varint_encode(expr("transform(entries, e -> e.dl)")).as("dls_enc"),
-        col("block_max_tfnorm"))
-  }
+        graft.codec.BlockEncode.block_encode(col("entries"), col("avgdl"), p.k1, p.b).as("be"))
+      .select(
+        col("term"),
+        col("block_no"),
+        col("be.n").as("n"),
+        col("be.doc_ids_enc").as("doc_ids_enc"),
+        col("be.tfs_enc").as("tfs_enc"),
+        col("be.dls_enc").as("dls_enc"),
+        col("be.block_max_tfnorm").as("block_max_tfnorm"))
 
   /** Inverse of [[blocks]]: explode back to (term, doc_id, tf, dl). Used by
     * the scorer; proves the codec round-trips inside one Catalyst plan. */

@@ -41,7 +41,8 @@ import graft.query.Bm25IndexTables
   */
 object IndexBuilder {
 
-  case class BuildReport(stage: String, skipped: Boolean, rows: Long, snapshotId: Long)
+  case class BuildReport(stage: String, skipped: Boolean, rows: Long, snapshotId: Long,
+                         seconds: Double = 0.0)
 
   val Stages = Seq("docs", "corpusstats", "postings", "blocks", "termstats")
 
@@ -93,11 +94,12 @@ object IndexBuilder {
       if (m.parentSnapshotId == parentSnapshot && m.config == config)
         return BuildReport(stage, skipped = true, m.rows, m.snapshotId)
     }
+    val t0 = System.nanoTime()
     compute.write.mode("overwrite").parquet(dir)
     val lineage = TableManifest.lineageOf(spark, dir)
     val m = TableManifest(stage, parentSnapshot, lineage.map(_.rows).sum, lineage, config)
     TableManifest.commit(dir, m)
-    BuildReport(stage, skipped = false, m.rows, m.snapshotId)
+    BuildReport(stage, skipped = false, m.rows, m.snapshotId, (System.nanoTime() - t0) / 1e9)
   }
 
   /** Full build. `pages` must have (url, warc_ts, html, text, lang);
@@ -106,10 +108,10 @@ object IndexBuilder {
     * the input_hint invariant, audited at build time. */
   def build(spark: SparkSession, pages: DataFrame, indexDir: String,
             p: Bm25Params = Bm25Params(), partitions: Int = 0,
-            auditExtraction: Boolean = true): Seq[BuildReport] = {
+            auditExtraction: Boolean = true, docIdOffset: Long = 0L): Seq[BuildReport] = {
     val parts = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val baseCfg = configOf(p)
+    val baseCfg = configOf(p) + ("doc_id_offset" -> docIdOffset.toString)
     val reports = scala.collection.mutable.ArrayBuffer[BuildReport]()
 
     // -- docs -------------------------------------------------------------
@@ -125,8 +127,11 @@ object IndexBuilder {
         baseCfg + ("extract_mismatches" -> mismatches.toString)
       }
     val docsReport = runStage(spark, indexDir, "docs", 0L, docsCfg) {
-      assignDocIds(filtered, parts)
-        .select(col("doc_id"), col("url"), col("warc_ts"), col("text"), col("lang"),
+      // html is audited above but NOT carried through the docId sort —
+      // it is the widest column and would double the shuffle/persist volume
+      assignDocIds(filtered.select(col("url"), col("warc_ts"), col("text"), col("lang")), parts)
+        .select((col("doc_id") + docIdOffset).as("doc_id"),
+          col("url"), col("warc_ts"), col("text"), col("lang"),
           size(Tokenizer.tokenizeDoc(col("text"))).as("dl"))
     }
     reports += docsReport
@@ -139,11 +144,15 @@ object IndexBuilder {
     reports += statsReport
     val corpus = spark.read.parquet(stageDir(indexDir, "corpusstats"))
 
-    // -- postings (SPIMI merge: one range-partitioned sorted shuffle) -----
+    // -- postings: ZERO-shuffle narrow projection --------------------------
+    // tf is counted per document by the term_counts expression, so this
+    // stage is a scan-speed map with no exchange at all. The postings
+    // table is an intermediate (the query path probes only the sorted
+    // blocks table), so no sorted layout is needed here — the one shuffle
+    // of the build is the blocks stage's repartition by (term, block_no),
+    // whose docId-range component is the explicit stopword-skew salt.
     val postingsReport = runStage(spark, indexDir, "postings", docsReport.snapshotId, baseCfg) {
-      Bm25Index.postings(docs)
-        .repartitionByRange(parts, col("term"), col("doc_id"))
-        .sortWithinPartitions(col("term"), col("doc_id"))
+      Bm25Index.postingsWithDl(docs)
     }
     reports += postingsReport
     val postings = spark.read.parquet(stageDir(indexDir, "postings"))
@@ -152,8 +161,8 @@ object IndexBuilder {
     val blocksParent = TableManifest.snapshotId("chain", postingsReport.snapshotId,
       statsReport.snapshotId, Seq.empty, Map.empty)
     val blocksReport = runStage(spark, indexDir, "blocks", blocksParent, baseCfg) {
-      Bm25Index.blocks(postings, docs.select(col("doc_id"), col("dl")), corpus, p)
-        .repartitionByRange(parts, col("term"), col("block_no"))
+      Bm25Index.blocks(postings, corpus, p)
+        .repartition(parts, col("term"), col("block_no"))
         .sortWithinPartitions(col("term"), col("block_no"))
     }
     reports += blocksReport

@@ -1,0 +1,146 @@
+package graft.index
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.TableManifest
+import graft.query.Bm25IndexTables
+
+/** Incremental index mutation — the Spark re-expression of the reference's
+  * IndexUpdater.add/remove/persist_to_disk (colbert/index_updater.py:28-250):
+  * instead of splicing strided tensors in place, additions land as
+  * self-contained SEGMENTS (mini 5-stage indexes under updates/seg-N) and
+  * removals as TOMBSTONE parquet sets; a merged reader unions base +
+  * segments and anti-joins tombstones. Compaction folds everything back
+  * into a fresh base build.
+  *
+  * Correctness under mutation:
+  * - exact search paths read corpus/term stats RECOMPUTED at open time
+  *   over the merged live postings, so BM25 scores equal those of a fresh
+  *   index over the same live docs (tested in IndexUpdaterSpec);
+  * - the WAND path's stored block maxima were computed with each
+  *   segment's build-time avgdl; openMerged sets wandBoundScale =
+  *   max(1, avgdl_now / min build avgdl) which keeps pruning admissible
+  *   (see Bm25IndexTables.wandBoundScale).
+  *
+  * Scale notes: adding a batch = indexing only that batch (no base
+  * rewrite); removing = writing a doc_id list. Query-time overhead grows
+  * with segment count (union of scans) — compaction amortizes it, exactly
+  * like the reference's persist_to_disk rewrite.
+  */
+object IndexUpdater {
+
+  private def updatesDir(indexDir: String) = s"$indexDir/updates"
+  private def tombDir(indexDir: String) = s"${updatesDir(indexDir)}/tombstones"
+
+  def segmentDirs(indexDir: String): Seq[String] = {
+    val u = Paths.get(updatesDir(indexDir))
+    if (!Files.isDirectory(u)) Seq.empty
+    else {
+      val it = Files.list(u).iterator()
+      val b = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.startsWith("seg-")) b += p.toString
+      }
+      b.toSeq.sorted
+    }
+  }
+
+  private def maxDocId(spark: SparkSession, indexDir: String): Long = {
+    val dirs = IndexBuilder.stageDir(indexDir, "docs") +: segmentDirs(indexDir).map(d => s"$d/docs")
+    dirs.map(d => spark.read.parquet(d).agg(max(col("doc_id"))).head.getLong(0)).max
+  }
+
+  /** Index `pages` as a new segment; docIds continue after the current max
+    * (additions never renumber existing docs — reference invariant,
+    * index_updater.py:127-171). Returns the segment dir. */
+  def add(spark: SparkSession, indexDir: String, pages: DataFrame,
+          p: Bm25Params = Bm25Params()): String = {
+    val segId = segmentDirs(indexDir).size
+    val segDir = s"${updatesDir(indexDir)}/seg-$segId"
+    val offset = maxDocId(spark, indexDir) + 1
+    IndexBuilder.build(spark, pages, segDir, p, docIdOffset = offset)
+    segDir
+  }
+
+  /** Tombstone the given docIds (idempotent union). */
+  def remove(spark: SparkSession, indexDir: String, docIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    val dir = tombDir(indexDir)
+    val existing =
+      if (TableManifest.exists(dir)) spark.read.parquet(dir).as[Long].collect().toSeq
+      else Seq.empty[Long]
+    // existing set is already collected driver-side, so overwriting the
+    // directory does not race its own input
+    val all = (existing ++ docIds).distinct.sorted
+    all.toDF("doc_id").coalesce(1).write.mode("overwrite").parquet(dir)
+    TableManifest.commit(dir, TableManifest("tombstones", 0L, all.size.toLong,
+      TableManifest.lineageOf(spark, dir), Map.empty))
+  }
+
+  def tombstones(spark: SparkSession, indexDir: String): Option[DataFrame] =
+    if (TableManifest.exists(tombDir(indexDir))) Some(spark.read.parquet(tombDir(indexDir)))
+    else None
+
+  /** Open base + all segments − tombstones as one queryable index, with
+    * stats recomputed over the live merged corpus (exactness) and WAND
+    * bounds rescaled (admissibility). */
+  def openMerged(spark: SparkSession, indexDir: String): Bm25IndexTables = {
+    val segs = segmentDirs(indexDir)
+    if (segs.isEmpty && tombstones(spark, indexDir).isEmpty)
+      return IndexBuilder.open(spark, indexDir)
+
+    val allDirs = indexDir +: segs
+    val blocks = allDirs.map(d => spark.read.parquet(IndexBuilder.stageDir(d, "blocks")))
+      .reduce(_ unionByName _)
+    val tombs = tombstones(spark, indexDir)
+    val docs = allDirs.map(d => spark.read.parquet(IndexBuilder.stageDir(d, "docs")))
+      .reduce(_ unionByName _)
+    val liveDocs = tombs match {
+      case Some(t) => docs.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      case None => docs
+    }
+    val corpus = Bm25Index.corpusStats(liveDocs.select(col("doc_id"), col("dl")))
+
+    // exact df over live docs: union the persisted sorted postings and
+    // re-aggregate (segments are doc-disjoint, tombstones subtract)
+    val postings = allDirs.map(d => spark.read.parquet(IndexBuilder.stageDir(d, "postings")))
+      .reduce(_ unionByName _)
+    val livePostings = tombs match {
+      case Some(t) => postings.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      case None => postings
+    }
+    val termStats = Bm25Index.termStats(livePostings, corpus)
+
+    // admissible WAND bound scale: avgdl_now vs the smallest build avgdl
+    val avgdlNow = corpus.select(col("avgdl")).head.getDouble(0)
+    val buildAvgdls = allDirs.map { d =>
+      spark.read.parquet(IndexBuilder.stageDir(d, "corpusstats"))
+        .select(col("avgdl")).head.getDouble(0)
+    }
+    val scale = math.max(1.0, avgdlNow / buildAvgdls.min)
+
+    Bm25IndexTables(blocks, termStats, corpus, tombs, scale)
+  }
+
+  /** Fold base + segments − tombstones into a fresh base index at
+    * `targetDir` (reference persist_to_disk; the SPIMI re-merge). */
+  def compact(spark: SparkSession, indexDir: String, targetDir: String,
+              p: Bm25Params = Bm25Params()): Unit = {
+    val allDirs = indexDir +: segmentDirs(indexDir)
+    val docs = allDirs.map(d => spark.read.parquet(IndexBuilder.stageDir(d, "docs")))
+      .reduce(_ unionByName _)
+    val live = tombstones(spark, indexDir) match {
+      case Some(t) => docs.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      case None => docs
+    }
+    // rebuild from the already-extracted corpus snapshot: synthesize a
+    // pages-shaped frame (html not retained in docs; audit is skipped)
+    val pages = live.select(col("url"), col("warc_ts"),
+      lit(Array.emptyByteArray).as("html"), col("text"), col("lang"))
+    IndexBuilder.build(spark, pages, targetDir, p, auditExtraction = false)
+  }
+}

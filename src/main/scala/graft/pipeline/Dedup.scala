@@ -60,47 +60,60 @@ object Dedup {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
-  /** MinHash signature: component i (0..15) = min over shingles of
-    * md5(i || '|' || shingle) — a string-order min over a uniform hash is
-    * a valid permutation min, and is reproducible in any engine with md5. */
-  def minhashSignature(sh: Column): Column =
-    transform(sequence(lit(0), lit(MinhashFns - 1)),
-      i => array_min(transform(sh, s => md5(concat(i.cast("string"), lit("|"), s)))))
-
-  /** (doc_id, band, key): LSH band keys, 4 bands of 4 signature rows.
-    * Docs with < n tokens (no shingles) are excluded — they cannot
-    * meaningfully near-dup via shingling. */
-  def minhashBands(docs: DataFrame, n: Int = 3): DataFrame = {
+  /** MinHash signatures, relational formulation: explode shingles, compute
+    * 4 md5s per shingle (seed groups 0..3), slice each into 4 8-hex-char
+    * sub-hashes → 16 hash functions from 4 digests; per-(doc, i) min via
+    * grouped partial aggregation. ONE pipeline, no per-row 16× digest
+    * recompute, scales as a plain shuffle on (doc_id, i).
+    * hash_i(s) = substr(md5((i/4) || '|' || s), (i%4)*8 + 1, 8). */
+  def minhashMins(docs: DataFrame, n: Int = 3): DataFrame = {
     val toks = Tokenizer.tokenizeDoc(col("text"))
     docs
-      .select(col("doc_id"), shingles(toks, n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-          b => md5(concat(b.cast("string"), lit("|"),
-            concat_ws("", slice(col("sig"), b * 4 + 1, lit(4))))))).as(Seq("band", "key")))
+      .select(col("doc_id"), explode(shingles(toks, n)).as("s"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("g"),
+        col("s"))
+      .select(col("doc_id"), col("g"),
+        md5(concat(col("g").cast("string"), lit("|"), col("s"))).as("h"))
+      .select(col("doc_id"), col("g"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          k => col("h").substr(k * 8 + 1, lit(8)))).as(Seq("k", "sub")))
+      .select(col("doc_id"), (col("g") * 4 + col("k")).as("i"),
+        col("sub").as("hv"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(col("hv")).as("h"))
   }
+
+  /** (doc_id, band, key): LSH band keys, 4 bands of 4 signature rows;
+    * band key = md5(band || '|' || concat of its 4 mins in i-order).
+    * Docs with < n tokens (no shingles) never reach here (no rows). */
+  def minhashBands(docs: DataFrame, n: Int = 3): DataFrame =
+    minhashMins(docs, n)
+      .groupBy(col("doc_id"), (col("i") / 4).cast("int").as("band"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("i"), col("h")))),
+        e => e.getField("h"))).as("cat"))
+      .select(col("doc_id"), col("band"),
+        md5(concat(col("band").cast("string"), lit("|"), col("cat"))).as("key"))
 
   /** Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band.
-    * `maxBucket` drops pathological boilerplate buckets (a bucket of size m
-    * emits m(m−1)/2 pairs — unbounded skew without the cap). */
-  def minhashPairs(docs: DataFrame, n: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val bands = minhashBands(docs, n)
-    val capped = bands.join(
-      bands.groupBy(col("band"), col("key")).count()
-        .filter(col("count") <= maxBucket)
-        .select(col("band"), col("key")),
-      Seq("band", "key"))
-    capped.alias("a")
-      .join(capped.alias("b"), Seq("band", "key"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    * Pairs are generated from ONE grouped pass per bucket (no self-join
+    * re-evaluating the signature pipeline). `maxBucket` drops pathological
+    * boilerplate buckets (a bucket of size m emits m(m−1)/2 pairs —
+    * unbounded skew without the cap). */
+  def minhashPairs(docs: DataFrame, n: Int = 3, maxBucket: Int = 1000): DataFrame =
+    minhashBands(docs, n)
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  a -> transform(slice(ids, a + 1, size(ids) - a),
+          |    b -> struct(ids[a - 1] AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-  }
 
-  /** SimHash-16 signature over md5 hex digits: bit j (1..16) = 1 iff
-    * Σ_terms tf·(hexdigit_j(md5(term)) − 7.5) > 0, rendered as a 16-char
+  /** SimHash-32 signature over md5 hex digits: bit j (1..32) = 1 iff
+    * Σ_terms tf·(hexdigit_j(md5(term)) − 7.5) > 0, rendered as a 32-char
     * '0'/'1' string (engine-portable; a production variant packs 64 bits —
     * identical plan shape). Relational formulation: (doc, term, tf) ×
     * positions, weighted sum per (doc, position). */
@@ -112,7 +125,7 @@ object Dedup {
       .withColumn("h", md5(col("term")))
     tf
       .select(col("doc_id"), col("tf"), col("h"),
-        explode(sequence(lit(1), lit(16))).as("j"))
+        explode(sequence(lit(1), lit(32))).as("j"))
       .groupBy(col("doc_id"), col("j"))
       // hex digit value = instr('0123..f', ch) − 1; weight centers at 7.5
       .agg(sum(col("tf") *
@@ -126,7 +139,7 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDist (default 3):
-    * candidates share ≥1 of 4 4-bit chunks (pigeonhole-complete for
+    * candidates share ≥1 of 4 8-bit chunks (pigeonhole-complete for
     * maxDist ≤ 3), verified by exact hamming. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "chunk join is only pigeonhole-complete for maxDist <= 3")
@@ -134,10 +147,10 @@ object Dedup {
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("cpos"),
-          col("simhash").substr(c * 4 + 1, lit(4)).as("cval")))).as("ch"))
+          col("simhash").substr(c * 8 + 1, lit(8)).as("cval")))).as("ch"))
       .select(col("doc_id"), col("simhash"), col("ch.cpos").as("cpos"), col("ch.cval").as("cval"))
     val hamming = expr(
-      "aggregate(sequence(1, 16), 0, (acc, j) -> acc + IF(substring(a_sig, j, 1) = substring(b_sig, j, 1), 0, 1))")
+      "aggregate(sequence(1, 32), 0, (acc, j) -> acc + IF(substring(a_sig, j, 1) = substring(b_sig, j, 1), 0, 1))")
     chunked.alias("a")
       .join(chunked.alias("b"), Seq("cpos", "cval"))
       .filter(col("a.doc_id") < col("b.doc_id"))

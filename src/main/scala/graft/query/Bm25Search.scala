@@ -69,7 +69,7 @@ object Bm25Search {
   def searchFull(queries: DataFrame, index: Bm25IndexTables, k: Int,
                  p: Bm25Params = Bm25Params()): DataFrame = {
     val qterms = compileQueries(queries, index.termStats)
-    val decoded = Bm25Index.decodeBlocks(
+    val decoded = index.decode(
       index.blocks.join(broadcast(qterms.select(col("term")).distinct()), "term"))
     topK(scores(hits(qterms, decoded, index.corpusStats, p)), k)
   }
@@ -81,7 +81,7 @@ object Bm25Search {
   def searchFullAgg(queries: DataFrame, index: Bm25IndexTables, k: Int,
                     p: Bm25Params = Bm25Params()): DataFrame = {
     val qterms = compileQueries(queries, index.termStats)
-    val decoded = Bm25Index.decodeBlocks(
+    val decoded = index.decode(
       index.blocks.join(broadcast(qterms.select(col("term")).distinct()), "term"))
     TopKAggregator.topK(scores(hits(qterms, decoded, index.corpusStats, p)), k)
   }
@@ -104,6 +104,30 @@ object Bm25Search {
     val probed = index.copy(blocks = index.blocks.filter(col("term").isin(terms: _*)))
     searchFull(queries, probed, k, p)
   }
+
+  /** Search restricted to an allowed docId set (reference pid filter /
+    * restricted search, searcher.py:87-95, index_storage.py:91-101):
+    * ranks 1..k are assigned WITHIN the allowed set. The restriction is a
+    * semi-join applied before scoring, so disallowed postings never reach
+    * the aggregation. */
+  def searchRestricted(queries: DataFrame, index: Bm25IndexTables, k: Int,
+                       allowedDocs: DataFrame, p: Bm25Params = Bm25Params()): DataFrame = {
+    val qterms = compileQueries(queries, index.termStats)
+    val decoded = index.decode(
+      index.blocks.join(broadcast(qterms.select(col("term")).distinct()), "term"))
+      .join(allowedDocs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    topK(scores(hits(qterms, decoded, index.corpusStats, p)), k)
+  }
+
+  /** Merge rankings (reference utility/rankings/merge.py:14-41): per
+    * (qid, doc) keep the best score across inputs, then re-rank 1..k. */
+  def mergeRankings(rankings: Seq[DataFrame], k: Int): DataFrame =
+    topK(
+      rankings.map(_.select(col("qid"), col("doc_id"), col("score")))
+        .reduce(_ unionByName _)
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(max(col("score")).as("score")),
+      k)
 
   /** Two-stage block-max-WAND-style pruned search — exact results,
     * reference analog of the staged pruning in index_storage.py:111-194:
@@ -134,7 +158,7 @@ object Bm25Search {
       .withColumn("rn", row_number().over(wRare))
       .filter(col("rn") === 1)
       .drop("rn")
-    val rareDecoded = Bm25Index.decodeBlocks(
+    val rareDecoded = index.decode(
       index.blocks.join(broadcast(rarest.select(col("term")).distinct()), "term"))
     val rareScores = scores(hits(rarest, rareDecoded, index.corpusStats, p))
     val wTheta = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id").asc)
@@ -145,7 +169,7 @@ object Bm25Search {
 
     // Stage B: per-(qid, doc) upper bound from block maxima (docIds only).
     val ubHits = probed
-      .select(col("term"), col("block_max_tfnorm"),
+      .select(col("term"), (col("block_max_tfnorm") * lit(index.wandBoundScale)).as("block_max_tfnorm"),
         explode(delta_varint_decode(col("doc_ids_enc"))).as("doc_id"))
       .join(broadcast(qterms.select(col("qid"), col("term"), col("qtf"), col("idf"))), "term")
       .groupBy(col("qid"), col("doc_id"))
@@ -156,7 +180,7 @@ object Bm25Search {
       .select(col("qid"), col("doc_id"))
 
     // Stage C: exact scoring of survivors only.
-    val decoded = Bm25Index.decodeBlocks(probed)
+    val decoded = index.decode(probed)
     val exact = scores(
       hits(qterms, decoded, index.corpusStats, p)
         .join(candidates, Seq("qid", "doc_id"), "left_semi"))
@@ -165,18 +189,45 @@ object Bm25Search {
 }
 
 /** The three index tables a search session needs (reference analog:
-  * IndexLoader's ivf + doclens + codec, colbert/search/index_loader.py). */
-case class Bm25IndexTables(blocks: DataFrame, termStats: DataFrame, corpusStats: DataFrame)
+  * IndexLoader's ivf + doclens + codec, colbert/search/index_loader.py).
+  *
+  * `tombstones`: optional (doc_id) set of deleted docs (incremental-update
+  * segments, reference colbert/index_updater.py:28-250) — filtered out of
+  * every decoded posting stream, so deleted docs can neither score nor
+  * contribute to WAND's θ.
+  *
+  * `wandBoundScale`: ≥1 multiplier applied to stored block-max bounds in
+  * the pruned path. Block maxima are computed with the avgdl at BUILD time;
+  * if segments later raise the corpus avgdl, tf-saturation values can
+  * exceed the stored maxima by at most avgdl_now/avgdl_build (the
+  * k1·b·dl/avgdl denominator term shrinks) — scaling the bounds by that
+  * ratio keeps pruning admissible without rewriting blocks. */
+case class Bm25IndexTables(
+    blocks: DataFrame,
+    termStats: DataFrame,
+    corpusStats: DataFrame,
+    tombstones: Option[DataFrame] = None,
+    wandBoundScale: Double = 1.0) {
+
+  /** Decode posting blocks to (term, doc_id, tf, dl), dropping tombstoned
+    * docs. ALL search paths must decode through this. */
+  def decode(blocksSubset: DataFrame): DataFrame = {
+    val decoded = graft.index.Bm25Index.decodeBlocks(blocksSubset)
+    tombstones match {
+      case Some(t) => decoded.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      case None => decoded
+    }
+  }
+}
 
 object Bm25IndexTables {
   /** Build all tables lazily from a (doc_id, text) corpus — single
     * Catalyst plan end-to-end, nothing materialized until an action. */
   def fromDocs(docs: DataFrame, p: Bm25Params = Bm25Params()): Bm25IndexTables = {
-    val postings = Bm25Index.postings(docs)
-    val docStats = Bm25Index.docStats(docs)
-    val corpus = Bm25Index.corpusStats(docStats)
+    val postings = Bm25Index.postingsWithDl(docs)
+    val corpus = Bm25Index.corpusStats(Bm25Index.docStats(docs))
     Bm25IndexTables(
-      blocks = Bm25Index.blocks(postings, docStats, corpus, p),
+      blocks = Bm25Index.blocks(postings, corpus, p),
       termStats = Bm25Index.termStats(postings, corpus),
       corpusStats = corpus)
   }

@@ -1,0 +1,61 @@
+package graft.query
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ranking persistence with the reference's output contract:
+  * flat TSV `qid \t doc_id \t rank \t score` plus a `.meta` provenance
+  * sidecar (reference: colbert/data/ranking.py:63-81 writes
+  * ranking.tsv + ranking.tsv.meta). Also the queries/qrels TSV scans
+  * (loaders.py:15-56) with their dup asserts.
+  *
+  * Scale note: rankings are k rows per query — "small" data by
+  * construction; the coalesce(1) single-file write mirrors the reference
+  * contract and is intentionally NOT how the big tables are written. */
+object RankingIO {
+
+  def writeRanking(ranking: DataFrame, outDir: String, meta: Map[String, String] = Map.empty): Unit = {
+    ranking
+      .select(col("qid"), col("doc_id"), col("rank"), col("score"))
+      .sort(col("qid"), col("rank"))
+      .coalesce(1)
+      .write.mode("overwrite").option("sep", "\t").csv(outDir)
+    val metaJson = (meta + ("format" -> "qid\tdoc_id\trank\tscore"))
+      .toSeq.sorted
+      .map { case (k, v) => s""""$k": "$v"""" }
+      .mkString("{", ", ", "}")
+    Files.writeString(Paths.get(outDir).resolve("_ranking.meta"), metaJson)
+  }
+
+  def readRanking(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .schema(StructType(Seq(
+        StructField("qid", LongType), StructField("doc_id", LongType),
+        StructField("rank", IntegerType), StructField("score", DoubleType))))
+      .option("sep", "\t").csv(dir)
+
+  /** Queries TSV `qid \t text` with the duplicate-qid assert
+    * (loaders.py:25). */
+  def readQueriesTsv(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read
+      .schema(StructType(Seq(
+        StructField("qid", LongType), StructField("text", StringType))))
+      .option("sep", "\t").csv(path)
+    val dups = df.groupBy(col("qid")).count().filter(col("count") > 1).count()
+    require(dups == 0, s"duplicate qids in $path")
+    df
+  }
+
+  /** Qrels 4-col TSV `qid 0 doc_id rel`, deduplicated (loaders.py:48-49). */
+  def readQrelsTsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(StructType(Seq(
+        StructField("qid", LongType), StructField("_zero", IntegerType),
+        StructField("doc_id", LongType), StructField("_rel", IntegerType))))
+      .option("sep", "\t").csv(path)
+      .select(col("qid"), col("doc_id"))
+      .dropDuplicates("qid", "doc_id")
+}

@@ -45,6 +45,39 @@ class TokenizerSpec extends AnyFunSuite {
     assert(tok("a\tb\nc\r\nd") == Seq("a", "b", "c", "d"))
   }
 
+  test("byte-path eval ≡ codepoint tokenize on adversarial unicode strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val cases = Seq(
+      "Hello, World!", "", "foo42--bar", "Héllo 世界 ÇA", "a—b", "x·y·z",
+      "ͶΣΜIXED ÅΒΓ", "🙂 emoji🙂mixed", "tail—", "—lead", "é", "…", "Ａｂｃ１２３",
+      "ácombining", "ÄÖÜ äöü ß", "кириллица ЛАТ", "﷽", "a­b",
+      (1 to 500).map(_ => "Wörd").mkString("·"))
+    cases.foreach { c =>
+      val fast = TokenizeExpr.tokenizeEval(UTF8String.fromString(c), 220)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      val slow = Tokenizer.tokenize(c, 220).toSeq
+      assert(fast == slow, s"input <$c>")
+    }
+    // randomized sweep
+    val rnd = new scala.util.Random(7)
+    (1 to 300).foreach { _ =>
+      val len = rnd.nextInt(60)
+      val c = new String((0 until len).map { _ =>
+        rnd.nextInt(5) match {
+          case 0 => (rnd.nextInt(26) + 'A').toChar
+          case 1 => (rnd.nextInt(26) + 'a').toChar
+          case 2 => "—·,!。ÉΩб世 \t".charAt(rnd.nextInt(10))
+          case 3 => (rnd.nextInt(10) + '0').toChar
+          case _ => rnd.nextPrintableChar()
+        }
+      }.toArray)
+      val fast = TokenizeExpr.tokenizeEval(UTF8String.fromString(c), 16)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      val slow = Tokenizer.tokenize(c, 16).toSeq
+      assert(fast == slow, s"input <$c>")
+    }
+  }
+
   test("expression path == function path") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._

@@ -114,9 +114,9 @@ class IndexBuilderSpec extends AnyFunSuite {
     IndexBuilder.build(spark, pages, dirA, partitions = 3)
     IndexBuilder.build(spark, pages, dirB, partitions = 11)
     val pa = spark.read.parquet(IndexBuilder.stageDir(dirA, "postings"))
-      .as[(String, Long, Int)].collect().sorted.toSeq
+      .as[(String, Long, Int, Int)].collect().sorted.toSeq
     val pb = spark.read.parquet(IndexBuilder.stageDir(dirB, "postings"))
-      .as[(String, Long, Int)].collect().sorted.toSeq
+      .as[(String, Long, Int, Int)].collect().sorted.toSeq
     assert(pa == pb)
     val queries = Synthesizer.queries(spark, 12, NDocs)
     def run(d: String) = Bm25Search.searchPersisted(queries, IndexBuilder.open(spark, d), 5)

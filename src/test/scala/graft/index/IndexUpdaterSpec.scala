@@ -1,0 +1,137 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.corpus.Synthesizer
+import graft.query.Bm25Search
+
+/** Incremental updates (reference: colbert/tests/index_updater_test.py —
+  * searches at :66,96,117,142,171): add-then-remove is a no-op on results,
+  * removal actually changes results, merged view ≡ fresh rebuild over the
+  * live corpus (scores compared per URL — docIds legitimately differ), and
+  * compaction preserves results. */
+class IndexUpdaterSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val NBase = 300L
+  private def tmp(): String = Files.createTempDirectory("graft-upd").toString
+
+  private lazy val basePages = Synthesizer.pages(spark, NBase, 5).cache()
+  private lazy val extraPages = Synthesizer.pages(spark, 80, 3, seed = 99L)
+    .withColumn("url", regexp_replace(col("url"), "example/", "example/extra/")).cache()
+  private lazy val queries = Synthesizer.queries(spark, 20, NBase).cache()
+
+  /** (qid, url, score) — docId-free result identity. */
+  private def byUrl(res: DataFrame, docs: DataFrame): Set[(Long, String, Double)] =
+    res.join(docs.select(col("doc_id"), col("url")), "doc_id")
+      .select(col("qid"), col("url"), col("score"))
+      .as[(Long, String, Double)].collect().toSet
+
+  private def mergedDocs(dir: String): DataFrame =
+    (dir +: IndexUpdater.segmentDirs(dir))
+      .map(d => spark.read.parquet(IndexBuilder.stageDir(d, "docs")))
+      .reduce(_ unionByName _)
+
+  test("add then remove the added docs restores the original results") {
+    val dir = tmp()
+    IndexBuilder.build(spark, basePages, dir)
+    val before = byUrl(
+      Bm25Search.searchFull(queries, IndexBuilder.open(spark, dir), 10),
+      spark.read.parquet(IndexBuilder.stageDir(dir, "docs")))
+
+    val segDir = IndexUpdater.add(spark, dir, extraPages)
+    val baseMax = spark.read.parquet(IndexBuilder.stageDir(dir, "docs"))
+      .agg(max(col("doc_id"))).as[Long].head()
+    val addedIds = spark.read.parquet(s"$segDir/docs")
+      .select(col("doc_id")).as[Long].collect().toSeq
+    assert(addedIds.nonEmpty && addedIds.min == baseMax + 1, "segment ids must extend base ids")
+
+    IndexUpdater.remove(spark, dir, addedIds)
+    val after = byUrl(
+      Bm25Search.searchFull(queries, IndexUpdater.openMerged(spark, dir), 10),
+      mergedDocs(dir))
+    assert(after == before)
+  }
+
+  test("removing a current top doc changes results; removed doc never appears") {
+    val dir = tmp()
+    IndexBuilder.build(spark, basePages, dir)
+    val index = IndexBuilder.open(spark, dir)
+    val top = Bm25Search.searchFull(queries, index, 10)
+    val victim = top.filter(col("rank") === 1).select(col("doc_id"))
+      .as[Long].head()
+    IndexUpdater.remove(spark, dir, Seq(victim))
+    val after = Bm25Search.searchFull(queries, IndexUpdater.openMerged(spark, dir), 10)
+    assert(after.filter(col("doc_id") === victim).count() == 0)
+    assert(byUrl(after, mergedDocs(dir)) !=
+      byUrl(top, spark.read.parquet(IndexBuilder.stageDir(dir, "docs"))))
+  }
+
+  test("merged view ≡ fresh rebuild over the live corpus (scores per url, full + WAND)") {
+    val dir = tmp()
+    IndexBuilder.build(spark, basePages, dir)
+    val baseMax = spark.read.parquet(IndexBuilder.stageDir(dir, "docs"))
+      .agg(max(col("doc_id"))).as[Long].head()
+    IndexUpdater.add(spark, dir, extraPages)
+    // remove a slice of BASE docs (ids ≤ baseMax) so stats genuinely shift
+    val removedIds = (0L to baseMax by 13L).toSeq
+    IndexUpdater.remove(spark, dir, removedIds)
+    val merged = IndexUpdater.openMerged(spark, dir)
+    val gotFull = byUrl(Bm25Search.searchFull(queries, merged, 10), mergedDocs(dir))
+    val gotWand = byUrl(Bm25Search.searchWand(queries, merged, 10), mergedDocs(dir))
+
+    // docIds legitimately differ between a merged view (original ids kept)
+    // and a fresh rebuild (renumbered) — so at the rank-k cut, equal-score
+    // ties can admit a different member. Compare tie-robustly: drop each
+    // qid's boundary-score entries from BOTH sides, but require the
+    // boundary score itself to match.
+    def tieRobust(s: Set[(Long, String, Double)]): (Set[(Long, String, Double)], Map[Long, Double]) = {
+      val byQ = s.groupBy(_._1)
+      val boundary = byQ.map { case (q, rs) => q -> rs.map(_._3).min }
+      (s.filterNot { case (q, _, sc) => sc == boundary(q) }, boundary)
+    }
+
+    val freshDir = tmp()
+    val baseDocs = spark.read.parquet(IndexBuilder.stageDir(dir, "docs"))
+      .filter(!col("doc_id").isin(removedIds: _*))
+      .select(col("url")).as[String].collect().toSet
+    val freshPages = basePages.filter(col("url").isin(baseDocs.toSeq: _*))
+      .unionByName(extraPages)
+    IndexBuilder.build(spark, freshPages, freshDir)
+    val fresh = IndexBuilder.open(spark, freshDir)
+    val want = byUrl(Bm25Search.searchFull(queries, fresh, 10),
+      spark.read.parquet(IndexBuilder.stageDir(freshDir, "docs")))
+
+    val (wantCore, wantBoundary) = tieRobust(want)
+    val (fullCore, fullBoundary) = tieRobust(gotFull)
+    val (wandCore, wandBoundary) = tieRobust(gotWand)
+    assert(fullCore == wantCore, "merged full-search differs from fresh rebuild")
+    assert(fullBoundary == wantBoundary, "rank-k boundary scores differ (full)")
+    assert(wandCore == wantCore, "merged WAND differs from fresh rebuild")
+    assert(wandBoundary == wantBoundary, "rank-k boundary scores differ (WAND)")
+  }
+
+  test("compaction preserves results and clears the need for merge overhead") {
+    val dir = tmp()
+    IndexBuilder.build(spark, basePages, dir)
+    IndexUpdater.add(spark, dir, extraPages)
+    IndexUpdater.remove(spark, dir, Seq(1L, 2L, 3L))
+    val merged = IndexUpdater.openMerged(spark, dir)
+    val want = byUrl(Bm25Search.searchFull(queries, merged, 10), mergedDocs(dir))
+
+    val compactDir = tmp()
+    IndexUpdater.compact(spark, dir, compactDir)
+    val compacted = IndexBuilder.open(spark, compactDir)
+    assert(IndexUpdater.segmentDirs(compactDir).isEmpty)
+    val got = byUrl(Bm25Search.searchFull(queries, compacted, 10),
+      spark.read.parquet(IndexBuilder.stageDir(compactDir, "docs")))
+    assert(got == want)
+  }
+}

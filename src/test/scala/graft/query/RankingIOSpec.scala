@@ -1,0 +1,68 @@
+package graft.query
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.analysis.Passages
+
+/** Ranking TSV round-trip (reference data/ranking.py:63-81 contract),
+  * queries/qrels TSV scans with their asserts (loaders.py:15-56), and
+  * docs→passages segmentation invariants (docs2passages.py:19-53). */
+class RankingIOSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("ranking TSV round-trips with .meta sidecar") {
+    val dir = Files.createTempDirectory("graft-rank").toString
+    val ranking = Seq(
+      (1L, 10L, 1, 3.5), (1L, 20L, 2, 2.5), (2L, 30L, 1, 9.0))
+      .toDF("qid", "doc_id", "rank", "score")
+    RankingIO.writeRanking(ranking, dir, Map("index" -> "test-index"))
+    assert(Files.exists(java.nio.file.Paths.get(dir, "_ranking.meta")))
+    val back = RankingIO.readRanking(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(back == Set((1L, 10L, 1, 3.5), (1L, 20L, 2, 2.5), (2L, 30L, 1, 9.0)))
+  }
+
+  test("queries TSV scan rejects duplicate qids") {
+    val dir = Files.createTempDirectory("graft-q").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "q.tsv"), "1\thello\n1\tworld\n")
+    intercept[IllegalArgumentException] {
+      RankingIO.readQueriesTsv(spark, s"$dir/q.tsv")
+    }
+  }
+
+  test("qrels TSV scan dedups (qid, doc_id)") {
+    val dir = Files.createTempDirectory("graft-qr").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "qrels.tsv"),
+      "1\t0\t5\t1\n1\t0\t5\t1\n1\t0\t6\t1\n")
+    val q = RankingIO.readQrelsTsv(spark, s"$dir/qrels.tsv")
+      .as[(Long, Long)].collect().toSet
+    assert(q == Set((1L, 5L), (1L, 6L)))
+  }
+
+  test("passages cover every token with the configured overlap") {
+    val docs = Seq(
+      (1L, (1 to 150).map(i => s"t$i").mkString(" ")), // 150 tokens → 64/32 windows
+      (2L, "a b c")) // shorter than window → single passage
+      .toDF("doc_id", "text")
+    val ps = Passages.segment(docs, window = 64, overlap = 32)
+      .as[(Long, Int, String, Int)].collect().sortBy(r => (r._1, r._2))
+    val p1 = ps.filter(_._1 == 1L)
+    // starts 1, 33, 65, 97 (start 129 would add no uncovered tokens:
+    // ceil((150-64)/32)+1 = 4 windows); last covers 97..150 = 54 tokens
+    assert(p1.length == 4 && p1.last._4 == 54)
+    assert(p1.head._3.startsWith("t1 t2 ") && p1.head._4 == 64)
+    // consecutive windows overlap by 32 tokens
+    val w0 = p1(0)._3.split(" "); val w1 = p1(1)._3.split(" ")
+    assert(w0.takeRight(32).toSeq == w1.take(32).toSeq)
+    // union of window tokens == all 150 tokens
+    assert(p1.flatMap(_._3.split(" ")).toSet == (1 to 150).map(i => s"t$i").toSet)
+    val p2 = ps.filter(_._1 == 2L)
+    assert(p2.length == 1 && p2.head._3 == "a b c" && p2.head._4 == 3)
+  }
+}
