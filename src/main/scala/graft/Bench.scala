@@ -4,10 +4,6 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
 
-import graft.corpus.Synthesizer
-import graft.index.IndexBuilder
-import graft.query.Bm25Search
-
 /** Benchmark main. Emits ONE JSON line:
   * {"metric":"total","value":S,"unit":"sec","queries":{...},"sf":...,
   *  "scaling":{...}}
@@ -45,32 +41,34 @@ object Bench {
     s
   }
 
-  private def timed[A](f: => A): (A, Double) = {
-    val t0 = System.nanoTime()
-    val a = f
-    (a, (System.nanoTime() - t0) / 1e9)
-  }
-
-  /** Full persisted index build over nDocs synthesized pages; returns
-    * (build seconds, 40-query batch seconds over the persisted index). */
+  /** One scaling measurement in an ISOLATED child JVM (see ScaleRunner —
+    * successive sessions in one JVM degrade ~3×; forking mirrors one
+    * spark-submit per cluster size). Returns (build sec, query sec). */
   private def scaleRun(cpus: Int, nDocs: Long): (Double, Double) = {
-    val spark = session(cpus)
-    try {
-      val wDir = Files.createTempDirectory(s"graft-warm-$cpus").toString
-      IndexBuilder.build(spark, Synthesizer.pages(spark, 2000, cpus), wDir,
-        auditExtraction = false)
-      val dir = Files.createTempDirectory(s"graft-bench-$cpus").toString
-      val pages = Synthesizer.pages(spark, nDocs, cpus * 4)
-      val (_, buildSec) = timed {
-        IndexBuilder.build(spark, pages, dir, auditExtraction = false)
-      }
-      val index = IndexBuilder.open(spark, dir)
-      val queries = Synthesizer.queries(spark, 40, nDocs)
-      val (_, querySec) = timed {
-        Bm25Search.searchPersisted(queries, index, 10).count()
-      }
-      (buildSec, querySec)
-    } finally spark.stop()
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx8g", "-XX:+UseParallelGC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.ScaleRunner", cpus.toString, nDocs.toString)
+    val out = new StringBuilder
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    var line = reader.readLine()
+    while (line != null) { out.append(line).append('\n'); line = reader.readLine() }
+    proc.waitFor()
+    val m = """SCALE \d+ ([\d.]+) ([\d.]+)""".r.findFirstMatchIn(out.toString)
+      .getOrElse(sys.error(s"ScaleRunner produced no SCALE line:\n$out"))
+    (m.group(1).toDouble, m.group(2).toDouble)
   }
 
   case class Pair(nLow: Int, nHigh: Int, docs: Long,

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{IndexBuilder, IndexUpdater}
+import graft.query.{Bm25Search, RankingIO}
+
+/** spark-submit entry point (north rule: "run via spark-submit on a
+  * multi-executor cluster"). In cluster mode the session comes from
+  * spark-submit's conf; standalone it falls back to local[*].
+  *
+  * Commands:
+  *   index   --pages <parquet> --out <indexDir> [--no-audit]
+  *   search  --index <indexDir> --queries <tsv|parquet> --k <n> --out <dir>
+  *   add     --index <indexDir> --pages <parquet>
+  *   remove  --index <indexDir> --ids <comma-separated docIds>
+  *   compact --index <indexDir> --out <dir>
+  *   demo    [--docs <n>]   (synthesize, build, search, print top ranks)
+  */
+object Main {
+
+  private def sparkSession(): SparkSession = {
+    val b = SparkSession.builder().appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+    val s = (if (sys.env.contains("SPARK_MASTER") || sys.props.contains("spark.master")) b
+             else b.master("local[*]").config("spark.sql.shuffle.partitions", "32"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def parseArgs(args: Seq[String]): Map[String, String] =
+    args.sliding(2, 2).collect { case Seq(k, v) if k.startsWith("--") => k.drop(2) -> v }.toMap ++
+      args.filter(a => a == "--no-audit").map(a => a.drop(2) -> "true").toMap
+
+  private def readQueries(spark: SparkSession, path: String): DataFrame =
+    if (path.endsWith(".tsv") || path.endsWith(".csv")) RankingIO.readQueriesTsv(spark, path)
+    else spark.read.parquet(path)
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.Main <index|search|add|remove|compact|demo> [--opts]")
+    val cmd = args.head
+    val opts = parseArgs(args.tail.toSeq)
+    val spark = sparkSession()
+
+    cmd match {
+      case "index" =>
+        val reports = IndexBuilder.build(spark,
+          spark.read.parquet(opts("pages")), opts("out"),
+          auditExtraction = !opts.contains("no-audit"))
+        reports.foreach(r => println(
+          f"[graft] stage=${r.stage} rows=${r.rows} skipped=${r.skipped} sec=${r.seconds}%.1f snapshot=${r.snapshotId}%016x"))
+
+      case "search" =>
+        val index = IndexUpdater.openMerged(spark, opts("index"))
+        val k = opts.getOrElse("k", "10").toInt
+        val ranking = Bm25Search.searchPersisted(
+          readQueries(spark, opts("queries")), index, k)
+        RankingIO.writeRanking(ranking, opts("out"),
+          Map("index" -> opts("index"), "k" -> k.toString))
+        println(s"[graft] ranking written to ${opts("out")}")
+
+      case "add" =>
+        val seg = IndexUpdater.add(spark, opts("index"), spark.read.parquet(opts("pages")))
+        println(s"[graft] segment added: $seg")
+
+      case "remove" =>
+        val ids = opts("ids").split(",").map(_.trim.toLong).toSeq
+        IndexUpdater.remove(spark, opts("index"), ids)
+        println(s"[graft] tombstoned ${ids.size} docIds")
+
+      case "compact" =>
+        IndexUpdater.compact(spark, opts("index"), opts("out"))
+        println(s"[graft] compacted into ${opts("out")}")
+
+      case "demo" =>
+        val n = opts.getOrElse("docs", "10000").toLong
+        val dir = java.nio.file.Files.createTempDirectory("graft-demo").toString
+        IndexBuilder.build(spark, corpus.Synthesizer.pages(spark, n, 32), dir)
+        val index = IndexBuilder.open(spark, dir)
+        val queries = corpus.Synthesizer.queries(spark, 5, n)
+        Bm25Search.searchPersisted(queries, index, 5)
+          .join(spark.read.parquet(IndexBuilder.stageDir(dir, "docs"))
+            .select(col("doc_id"), col("url")), "doc_id")
+          .orderBy(col("qid"), col("rank"))
+          .show(25, truncate = false)
+
+      case other => sys.error(s"unknown command: $other")
+    }
+    spark.stop()
+  }
+}

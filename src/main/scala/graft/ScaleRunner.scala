@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.corpus.Synthesizer
+import graft.index.IndexBuilder
+import graft.query.Bm25Search
+
+/** One isolated scaling measurement: `ScaleRunner <cpus> <nDocs>` builds
+  * the full persisted index over nDocs synthesized pages at local[cpus]
+  * (after a small warmup build) and prints ONE line:
+  * `SCALE <cpus> <build_sec> <query_sec>`.
+  *
+  * Run in its OWN JVM by Bench — successive SparkSessions inside one JVM
+  * measurably degrade (accumulated codegen/metaspace/GC state: observed
+  * 3× inflation by the fifth session), so each measurement forks, exactly
+  * like one spark-submit per cluster size would. */
+object ScaleRunner {
+  def main(args: Array[String]): Unit = {
+    val cpus = args(0).toInt
+    val nDocs = args(1).toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scale-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    IndexBuilder.build(spark, Synthesizer.pages(spark, 2000, cpus),
+      Files.createTempDirectory(s"graft-warm-$cpus").toString, auditExtraction = false)
+    val dir = Files.createTempDirectory(s"graft-scale-$cpus").toString
+    val pages = Synthesizer.pages(spark, nDocs, cpus * 4)
+    val t0 = System.nanoTime()
+    IndexBuilder.build(spark, pages, dir, auditExtraction = false)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val index = IndexBuilder.open(spark, dir)
+    val queries = Synthesizer.queries(spark, 40, nDocs)
+    val t1 = System.nanoTime()
+    Bm25Search.searchPersisted(queries, index, 10).count()
+    val querySec = (System.nanoTime() - t1) / 1e9
+    println(f"SCALE $cpus $buildSec%.3f $querySec%.3f")
+    spark.stop()
+  }
+}
