@@ -54,6 +54,37 @@ object Tokenizer {
   def tokenize(c: Column, maxTerms: Int): Column =
     GraftShim.column(TokenizeExpr(GraftShim.expression(c), maxTerms))
 
+  /** Tokens with character spans: (term, start, end) per token, end
+    * exclusive, offsets in Java char units over the ORIGINAL text —
+    * the reference's offset mapping for span labels
+    * (colbert/modeling/tokenization/doc_tokenization.py:60-65,
+    * utils.py:145-161). Slow path (String-based); used by span features,
+    * not the index hot path. */
+  def tokenizeWithOffsets(text: String, maxTerms: Int): Array[(String, Int, Int)] = {
+    if (text == null) return null
+    val out = new scala.collection.mutable.ArrayBuffer[(String, Int, Int)](32)
+    val sb = new java.lang.StringBuilder(16)
+    var start = -1
+    var i = 0
+    val n = text.length
+    while (i < n && out.length < maxTerms) {
+      val cp = text.codePointAt(i)
+      if (Character.isLetter(cp) || Character.getType(cp) == Character.DECIMAL_DIGIT_NUMBER) {
+        if (sb.length == 0) start = i
+        sb.appendCodePoint(Character.toLowerCase(cp))
+      } else if (sb.length > 0) {
+        out += ((sb.toString, start, i))
+        sb.setLength(0)
+      }
+      i += Character.charCount(cp)
+    }
+    if (sb.length > 0 && out.length < maxTerms) out += ((sb.toString, start, i))
+    out.toArray
+  }
+
+  def tokenize_with_offsets(c: Column, maxTerms: Int = DocMaxTerms): Column =
+    GraftShim.column(TokenizeOffsetsExpr(GraftShim.expression(c), maxTerms))
+
   def tokenizeDoc(c: Column): Column = tokenize(c, DocMaxTerms)
   def tokenizeQuery(c: Column): Column = tokenize(c, QueryMaxTerms)
 }
@@ -82,7 +113,35 @@ case class TokenizeExpr(child: Expression, maxTerms: Int)
     copy(child = newChild)
 }
 
+/** text → array<struct<term:string, start:int, end:int>> (end exclusive,
+  * char offsets into the original text). */
+case class TokenizeOffsetsExpr(child: Expression, maxTerms: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("start", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("end", org.apache.spark.sql.types.IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "tokenize_with_offsets"
+  override def nullSafeEval(input: Any): Any =
+    TokenizeExpr.offsetsEval(input.asInstanceOf[UTF8String], maxTerms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.analysis.TokenizeExpr.offsetsEval($c, $maxTerms)")
+  override protected def withNewChildInternal(newChild: Expression): TokenizeOffsetsExpr =
+    copy(child = newChild)
+}
+
 object TokenizeExpr {
+
+  def offsetsEval(s: UTF8String, maxTerms: Int): ArrayData = {
+    val toks = Tokenizer.tokenizeWithOffsets(s.toString, maxTerms)
+    new GenericArrayData(toks.map { case (t, st, en) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(t), st, en)).asInstanceOf[Any]
+    })
+  }
 
   /** Called from generated code; single pass over the raw UTF-8 bytes.
     *

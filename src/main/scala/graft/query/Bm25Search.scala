@@ -119,6 +119,19 @@ object Bm25Search {
     topK(scores(hits(qterms, decoded, index.corpusStats, p)), k)
   }
 
+  /** A view of the index with stopword-grade terms dropped: any term with
+    * df > maxDfFraction·N is removed from termStats, so query compilation
+    * silently skips it (the lexical analog of the reference's doc-side
+    * pooling/pruning quality knob, SURVEY §2.5 A12). At web scale this
+    * caps the posting volume any single query can touch. */
+  def dfPruned(index: Bm25IndexTables, maxDfFraction: Double): Bm25IndexTables = {
+    val pruned = index.termStats
+      .crossJoin(broadcast(index.corpusStats.select(col("n_docs"))))
+      .filter(col("df") <= col("n_docs") * maxDfFraction)
+      .drop("n_docs")
+    index.copy(termStats = pruned)
+  }
+
   /** Merge rankings (reference utility/rankings/merge.py:14-41): per
     * (qid, doc) keep the best score across inputs, then re-rank 1..k. */
   def mergeRankings(rankings: Seq[DataFrame], k: Int): DataFrame =

@@ -49,6 +49,20 @@ object RankingIO {
     df
   }
 
+  /** Queries from JSONL QA rows (reference queries.py:50-67: objects with
+    * qid + question/text). */
+  def readQueriesJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+      .select(col("qid").cast("long").as("qid"),
+        coalesce(col("question"), col("text")).as("text"))
+
+  /** Remap ranking docIds through a (doc_id, new_doc_id) mapping table —
+    * the TranslateAbleCollection analog (reference collection.py:102-149:
+    * bijection new_pid <-> original_pid); joins replace dict lookups. */
+  def translate(ranking: DataFrame, mapping: DataFrame): DataFrame =
+    ranking.join(mapping, "doc_id")
+      .select(col("qid"), col("new_doc_id").as("doc_id"), col("rank"), col("score"))
+
   /** Qrels 4-col TSV `qid 0 doc_id rel`, deduplicated (loaders.py:48-49). */
   def readQrelsTsv(spark: SparkSession, path: String): DataFrame =
     spark.read

@@ -1,0 +1,89 @@
+package graft.query
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.corpus.Synthesizer
+import graft.index.{Bm25Index, IndexBuilder}
+
+/** Physical-plan quality gates — the shapes the engine's scale story
+  * depends on, pinned so a refactor cannot silently regress them:
+  * zero-shuffle postings, broadcast-only query joins, parquet term
+  * pushdown, whole-stage codegen over the hot expressions. */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private lazy val docs = Synthesizer.withDocIds(Synthesizer.pages(spark, 200, 3))
+    .select(col("doc_id"), col("text")).cache()
+
+  // a file-backed docs input: plan checks on the TRANSFORM itself must not
+  // see exchanges belonging to the test fixture's docId window
+  private lazy val fileDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  private def finalPlan(df: DataFrame): String = {
+    df.count() // finalize the adaptive plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("postings build is a narrow plan: no Exchange (zero-shuffle claim)") {
+    val plan = finalPlan(Bm25Index.postingsWithDl(fileDocs))
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("postings/tokenize pipeline runs inside WholeStageCodegen") {
+    val plan = finalPlan(Bm25Index.postingsWithDl(fileDocs))
+    // "*(n)" prefixes mark WholeStageCodegen stages in the compact plan
+    assert(plan.contains("*(1)"), plan)
+    // the custom expressions must sit INSIDE the codegen'd stage (a
+    // fallback would print them under a non-starred node)
+    assert(plan.contains("*(1) Project [doc_id") || plan.contains("graft_tokenize"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("query-time scoring joins are broadcast (postings never shuffled by the join)") {
+    val index = Bm25IndexTables.fromDocs(docs)
+    val queries = Synthesizer.queries(spark, 10, 200)
+    val plan = planOf(Bm25Search.searchFull(queries, index, 10))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"postings join degraded to SMJ:\n$plan")
+  }
+
+  test("persisted search pushes the query-term In filter into the parquet scan") {
+    val dir = Files.createTempDirectory("graft-plan").toString
+    IndexBuilder.build(spark, Synthesizer.pages(spark, 200, 3), dir, auditExtraction = false)
+    val index = IndexBuilder.open(spark, dir)
+    val queries = Synthesizer.queries(spark, 5, 200)
+    val plan = planOf(Bm25Search.searchPersisted(queries, index, 10))
+    assert(plan.contains("PushedFilters: [In(term"), plan)
+  }
+
+  test("blocks build has exactly one data shuffle (the grouped block aggregation)") {
+    val corpus = Bm25Index.corpusStats(Bm25Index.docStats(docs))
+    val plan = planOf(Bm25Index.blocks(Bm25Index.postingsWithDl(docs), corpus,
+      graft.index.Bm25Params()))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
+  }
+
+  test("WAND stage B reads only ids + bounds (column pruning on the blocks scan)") {
+    val dir = Files.createTempDirectory("graft-plan2").toString
+    IndexBuilder.build(spark, Synthesizer.pages(spark, 200, 3), dir, auditExtraction = false)
+    val blocks = IndexBuilder.open(spark, dir).blocks
+    val ubScan = blocks
+      .select(col("term"), col("block_max_tfnorm"),
+        explode(graft.codec.VarintExpressions.delta_varint_decode(col("doc_ids_enc"))).as("doc_id"))
+    val plan = planOf(ubScan)
+    // tf/dl payloads must NOT be read for the upper-bound pass
+    assert(!plan.contains("tfs_enc") && !plan.contains("dls_enc"),
+      s"stage-B scan reads payload columns:\n$plan")
+  }
+}

@@ -45,6 +45,59 @@ class RankingIOSpec extends AnyFunSuite {
     assert(q == Set((1L, 5L), (1L, 6L)))
   }
 
+  test("JSONL queries scan (QA rows)") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "q.jsonl"),
+      """{"qid": 1, "question": "hello world"}
+        |{"qid": 2, "text": "foo bar"}
+        |""".stripMargin)
+    val q = RankingIO.readQueriesJsonl(spark, s"$dir/q.jsonl")
+      .as[(Long, String)].collect().toSet
+    assert(q == Set((1L, "hello world"), (2L, "foo bar")))
+  }
+
+  test("docId translate remaps through a mapping table") {
+    val ranking = Seq((1L, 10L, 1, 3.5), (1L, 20L, 2, 2.5))
+      .toDF("qid", "doc_id", "rank", "score")
+    val mapping = Seq((10L, 110L), (20L, 120L)).toDF("doc_id", "new_doc_id")
+    val got = RankingIO.translate(ranking, mapping)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(got == Set((1L, 110L, 1, 3.5), (1L, 120L, 2, 2.5)))
+  }
+
+  test("df-pruned search drops stopword-grade terms but keeps rare-term results") {
+    import graft.analysis.Tokenizer
+    import graft.corpus.Synthesizer
+    val docs = Synthesizer.withDocIds(Synthesizer.pages(spark, 200, 3))
+      .select(col("doc_id"), col("text"))
+    val index = Bm25IndexTables.fromDocs(docs)
+    // plant7 occurs in one doc; w0 is stopword-grade
+    val queries = Seq((1L, "plant7 w0")).toDF("qid", "text")
+    val full = Bm25Search.searchFull(queries, index, 5)
+    val pruned = Bm25Search.searchFull(queries, Bm25Search.dfPruned(index, 0.05), 5)
+    // the rare planted term still hits its doc (docIds are url-rank, so
+    // find the doc by content)
+    val plantedId = docs
+      .filter(array_contains(Tokenizer.tokenizeDoc(col("text")), "plant7"))
+      .select(col("doc_id")).as[Long].head()
+    assert(pruned.filter(col("doc_id") === plantedId).count() == 1)
+    // pruned scores exclude the stopword contribution -> strictly fewer or
+    // different hits than full for this query
+    assert(pruned.count() <= full.count())
+  }
+
+  test("tokenize_with_offsets emits exact char spans") {
+    import graft.analysis.Tokenizer
+    val rows = Seq("Hello, World!", "a—b  c").toDF("text")
+      .select(Tokenizer.tokenize_with_offsets(col("text")).as("t"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(r =>
+        (r.getString(0), r.getInt(1), r.getInt(2))).toList).toList
+    assert(rows(0) == List(("hello", 0, 5), ("world", 7, 12)))
+    assert(rows(1) == List(("a", 0, 1), ("b", 2, 3), ("c", 5, 6)))
+    // spans index the ORIGINAL text (lowercase applies to term only)
+    assert("Hello, World!".substring(7, 12) == "World")
+  }
+
   test("passages cover every token with the configured overlap") {
     val docs = Seq(
       (1L, (1 to 150).map(i => s"t$i").mkString(" ")), // 150 tokens → 64/32 windows
