@@ -44,7 +44,7 @@ object Bench {
   /** One scaling measurement in an ISOLATED child JVM (see ScaleRunner —
     * successive sessions in one JVM degrade ~3×; forking mirrors one
     * spark-submit per cluster size). Returns (build sec, query sec). */
-  private def scaleRun(cpus: Int, nDocs: Long): (Double, Double) = {
+  private def scaleRun(cpus: Int, nDocs: Long): (Double, Double, Double) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -66,22 +66,23 @@ object Bench {
     var line = reader.readLine()
     while (line != null) { out.append(line).append('\n'); line = reader.readLine() }
     proc.waitFor()
-    val m = """SCALE \d+ ([\d.]+) ([\d.]+)""".r.findFirstMatchIn(out.toString)
+    val m = """SCALE \d+ ([\d.]+) ([\d.]+) ([\d.]+)""".r.findFirstMatchIn(out.toString)
       .getOrElse(sys.error(s"ScaleRunner produced no SCALE line:\n$out"))
-    (m.group(1).toDouble, m.group(2).toDouble)
+    (m.group(1).toDouble, m.group(2).toDouble, m.group(3).toDouble)
   }
 
   case class Pair(nLow: Int, nHigh: Int, docs: Long,
-                  tLow: Double, tHigh: Double, qLow: Double, qHigh: Double) {
+                  tLow: Double, tHigh: Double, qLow: Double, qHigh: Double,
+                  p50Low: Double, p50High: Double) {
     def tpLow: Double = docs / tLow
     def tpHigh: Double = docs / tHigh
     def eff: Double = (tpHigh / tpLow) / (nHigh.toDouble / nLow)
   }
 
   private def runPair(nLow: Int, nHigh: Int, docs: Long): Pair = {
-    val (tl, ql) = scaleRun(nLow, docs)
-    val (th, qh) = scaleRun(nHigh, docs)
-    Pair(nLow, nHigh, docs, tl, th, ql, qh)
+    val (tl, ql, pl) = scaleRun(nLow, docs)
+    val (th, qh, ph) = scaleRun(nHigh, docs)
+    Pair(nLow, nHigh, docs, tl, th, ql, qh, pl, ph)
   }
 
   def main(args: Array[String]): Unit = {
@@ -107,14 +108,15 @@ object Bench {
       f""""$tag":{"cores":"${p.nLow}v${p.nHigh}","n_docs":${p.docs},""" +
       f""""build_sec_low":${p.tLow}%.2f,"build_sec_high":${p.tHigh}%.2f,""" +
       f""""docs_per_sec_low":${p.tpLow}%.1f,"docs_per_sec_high":${p.tpHigh}%.1f,""" +
-      f""""efficiency":${p.eff}%.3f,"query_batch40_sec_high":${p.qHigh}%.2f}"""
+      f""""efficiency":${p.eff}%.3f,"query_batch40_sec_high":${p.qHigh}%.2f,""" +
+      f""""query_p50_sec_high":${p.p50High}%.4f}"""
     val scaling = s"{${pairJson("n_vs_4n", pairA)},${pairJson("full_machine", pairB)}}"
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
 
     def pairMd(p: Pair): String =
-      f"""|| local[${p.nLow}]  | ${p.tLow}%.2f | ${p.tpLow}%.1f | ${p.qLow}%.2f |
-          || local[${p.nHigh}] | ${p.tHigh}%.2f | ${p.tpHigh}%.1f | ${p.qHigh}%.2f |
+      f"""|| local[${p.nLow}]  | ${p.tLow}%.2f | ${p.tpLow}%.1f | ${p.qLow}%.2f | ${p.p50Low * 1000}%.0f |
+          || local[${p.nHigh}] | ${p.tHigh}%.2f | ${p.tpHigh}%.1f | ${p.qHigh}%.2f | ${p.p50High * 1000}%.0f |
           |
           |Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**""".stripMargin
     val bench =
@@ -129,8 +131,8 @@ object Bench {
          |
          |### Primary pair: local[2] vs local[8] (${pairA.docs} docs)
          |
-         || parallelism | build sec | docs/sec | 40-query batch sec |
-         || --- | --- | --- | --- |
+         || parallelism | build sec | docs/sec | 40-query batch sec | single-query p50 ms |
+         || --- | --- | --- | --- | --- |
          |${pairMd(pairA)}
          |
          |Low core counts isolate algorithmic scaling from the single
@@ -139,8 +141,8 @@ object Bench {
          |
          |### Secondary pair: local[8] vs local[32] (${pairB.docs} docs)
          |
-         || parallelism | build sec | docs/sec | 40-query batch sec |
-         || --- | --- | --- | --- |
+         || parallelism | build sec | docs/sec | 40-query batch sec | single-query p50 ms |
+         || --- | --- | --- | --- | --- |
          |${pairMd(pairB)}
          |
          |Caveat: all 32 threads share one memory bus, and this Firecracker

@@ -176,6 +176,13 @@ object SparkEntry {
 
     "text_fingerprint" -> ((s, dir) => TextStats.fingerprints(docs(s, dir))),
 
+    // ---- event-time analytics over the events table ----
+    "events_windowed" -> ((s, dir) =>
+      graft.pipeline.Events.windowedCounts(s.read.parquet(s"$dir/events.parquet"))),
+
+    "events_sessions" -> ((s, dir) =>
+      graft.pipeline.Events.sessions(s.read.parquet(s"$dir/events.parquet"))),
+
     // ---- multimodal plumbing (payload = utf-8 bytes of text; decode is a
     //      deterministic stub — see graft.multimodal.Media) ----
     "media_meta" -> ((s, dir) => Media.mediaMeta(mediaAssets(s, dir))),
@@ -514,6 +521,34 @@ object SparkEntry {
          |SELECT doc_id, fp AS fingerprint,
          |       (strpos('0123456789abcdef', substr(fp, 1, 1)) - 1)::INT AS shard
          |FROM t""".stripMargin,
+
+    "events_windowed" ->
+      s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         |       event_type,
+         |       count(*)::BIGINT AS n_events,
+         |       round(sum(value), 4) AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_sessions" ->
+      s"""WITH o AS (
+         |  SELECT user_id, event_id, ts,
+         |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events
+         |), marked AS (
+         |  SELECT user_id, event_id, ts,
+         |         CASE WHEN prev_ts IS NULL
+         |                OR floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT > 1800
+         |              THEN 1 ELSE 0 END AS new_sess
+         |  FROM o
+         |), sess AS (
+         |  SELECT user_id, ts,
+         |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                             ROWS UNBOUNDED PRECEDING)::INT AS session_no
+         |  FROM marked
+         |)
+         |SELECT user_id, session_no, count(*)::BIGINT AS n_events,
+         |       (floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT) AS duration_sec
+         |FROM sess GROUP BY 1, 2""".stripMargin,
 
     "media_meta" ->
       s"""WITH a AS (
