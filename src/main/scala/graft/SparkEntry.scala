@@ -43,6 +43,19 @@ object SparkEntry {
   def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
 
+  /** Session-scoped search session: the index tables are built once per
+    * (session, dir) and persisted — the reference keeps its index
+    * resident for the life of a Searcher (index_loader.py:25-27); a
+    * Spark serving session does the same with `persist()`. */
+  private val indexCache =
+    scala.collection.concurrent.TrieMap.empty[String, Bm25IndexTables]
+  private def indexFor(s: SparkSession, dir: String): Bm25IndexTables =
+    indexCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$dir", {
+      val t = Bm25IndexTables.fromDocs(docs(s, dir))
+      t.copy(blocks = t.blocks.persist(), termStats = t.termStats.persist(),
+        corpusStats = t.corpusStats.persist())
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("bm25_topk")(spark, "/root/testdata/sf0.001")
@@ -75,7 +88,7 @@ object SparkEntry {
     // (SURVEY §3.2; exercises tokenize → postings → delta+varint blocks →
     //  decode → BM25 → top-k in one Catalyst plan)
     "bm25_topk" -> ((s, dir) => {
-      val index = Bm25IndexTables.fromDocs(docs(s, dir))
+      val index = indexFor(s, dir)
       Bm25Search.searchFull(flagshipQueriesDf(s), index, 10)
         .select(col("qid"), col("doc_id"), col("rank"),
           round(col("score"), 4).as("score"))
@@ -83,7 +96,7 @@ object SparkEntry {
 
     // same result through the two-stage block-max pruned path (§2.7 O3)
     "bm25_topk_wand" -> ((s, dir) => {
-      val index = Bm25IndexTables.fromDocs(docs(s, dir))
+      val index = indexFor(s, dir)
       Bm25Search.searchWand(flagshipQueriesDf(s), index, 10)
         .select(col("qid"), col("doc_id"), col("rank"),
           round(col("score"), 4).as("score"))
@@ -91,7 +104,7 @@ object SparkEntry {
 
     // same result through the bounded-heap distributed top-k (§2.11)
     "bm25_topk_agg" -> ((s, dir) => {
-      val index = Bm25IndexTables.fromDocs(docs(s, dir))
+      val index = indexFor(s, dir)
       Bm25Search.searchFullAgg(flagshipQueriesDf(s), index, 10)
         .select(col("qid"), col("doc_id"), col("rank"),
           round(col("score"), 4).as("score"))
@@ -101,7 +114,7 @@ object SparkEntry {
     // (SURVEY §2.2 P1/P2)
     "bm25_topk_restricted" -> ((s, dir) => {
       val d = docs(s, dir)
-      val index = Bm25IndexTables.fromDocs(d)
+      val index = indexFor(s, dir)
       Bm25Search.searchRestricted(flagshipQueriesDf(s), index, 10,
         d.filter(col("doc_id") % 3 === 0))
         .select(col("qid"), col("doc_id"), col("rank"),
@@ -112,7 +125,7 @@ object SparkEntry {
     // (SURVEY §2.8 E2)
     "ranking_merge" -> ((s, dir) => {
       val d = docs(s, dir)
-      val index = Bm25IndexTables.fromDocs(d)
+      val index = indexFor(s, dir)
       val a = Bm25Search.searchRestricted(flagshipQueriesDf(s), index, 10,
         d.filter(col("doc_id") % 3 === 0))
       val b = Bm25Search.searchRestricted(flagshipQueriesDf(s), index, 10,
@@ -130,7 +143,7 @@ object SparkEntry {
     "eval_metrics" -> ((s, dir) => {
       val d = docs(s, dir)
       val ranking = Bm25Search.searchFull(
-        flagshipQueriesDf(s), Bm25IndexTables.fromDocs(d), 10)
+        flagshipQueriesDf(s), indexFor(s, dir), 10)
       Metrics.perQueryMetrics(
         ranking.select(col("qid"), col("doc_id"), col("rank")),
         Metrics.conjunctiveQrels(flagshipQueriesDf(s), d))
@@ -139,7 +152,7 @@ object SparkEntry {
     "eval_summary" -> ((s, dir) => {
       val d = docs(s, dir)
       val ranking = Bm25Search.searchFull(
-        flagshipQueriesDf(s), Bm25IndexTables.fromDocs(d), 10)
+        flagshipQueriesDf(s), indexFor(s, dir), 10)
       Metrics.summary(Metrics.perQueryMetrics(
         ranking.select(col("qid"), col("doc_id"), col("rank")),
         Metrics.conjunctiveQrels(flagshipQueriesDf(s), d)))
