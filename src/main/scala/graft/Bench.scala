@@ -148,7 +148,11 @@ object Bench {
          |Caveat: all 32 threads share one memory bus, and this Firecracker
          |VM shows episodic CPU steal (observed: ±40%% run-to-run variance on
          |identical builds) — both depress the high-core ratio in ways a
-         |multi-node cluster does not.
+         |multi-node cluster does not. Across repeated clean runs this
+         |session the 2v8 efficiency ranged 0.63–1.08 (GC thread count
+         |scales with cores, so the 2-core baseline is itself noisy); the
+         |measurement protocol (forked JVMs, warmup build, min of two timed
+         |builds per session, input read from parquet) is the stable part.
          |
          |## Per-query wall time (sf=$sfDir, local[$cpus], seconds)
          |

@@ -14,9 +14,11 @@ object StageProbe {
       // warmup
       IndexBuilder.build(spark, Synthesizer.pages(spark, 2000, cpus),
         Files.createTempDirectory(s"warm-$cpus").toString, auditExtraction = false)
+      val pagesDir = Files.createTempDirectory(s"probe-pages-$cpus").toString
+      Synthesizer.pages(spark, n, cpus * 4).write.mode("overwrite").parquet(pagesDir)
       val dir = Files.createTempDirectory(s"probe-$cpus").toString
       val t0 = System.nanoTime()
-      val reps = IndexBuilder.build(spark, Synthesizer.pages(spark, n, cpus * 4), dir,
+      val reps = IndexBuilder.build(spark, spark.read.parquet(pagesDir), dir,
         auditExtraction = false)
       val total = (System.nanoTime() - t0) / 1e9
       println(f"PROBE cpus=$cpus total=$total%.1f " +

@@ -78,13 +78,26 @@ object TableManifest {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Single-pass JSON string unescape (inverse of toJson's q()). A naive
+    * two-step replace mis-parses sequences like original `\` + `"`. */
+  private def unescape(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) { out.append(s.charAt(i + 1)); i += 2 }
+      else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   /** Minimal JSON reader for manifests this module wrote (flat structure,
     * no nesting beyond the files array). */
   def read(tableDir: String): TableManifest = {
     val s = Files.readString(manifestPath(tableDir))
     def str(key: String, from: String): String = {
       val m = ("\"" + key + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
-      m.findFirstMatchIn(from).map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).getOrElse("")
+      m.findFirstMatchIn(from).map(x => unescape(x.group(1))).getOrElse("")
     }
     def num(key: String, from: String): Long = {
       val m = ("\"" + key + "\":(-?\\d+)").r
@@ -97,7 +110,7 @@ object TableManifest {
     val cfgBlock = "\"config\":\\{(.*?)\\}\\s*$".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
     val cfg = "\"((?:[^\"\\\\]|\\\\.)*)\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
       .findAllMatchIn(cfgBlock)
-      .map(m => m.group(1) -> m.group(2).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .map(m => unescape(m.group(1)) -> unescape(m.group(2)))
       .toMap
     new TableManifest(str("stage", s), num("snapshot_id", s),
       num("parent_snapshot_id", s), num("rows", s), files, cfg)
