@@ -51,14 +51,14 @@ object ScaleRunner {
     val t1 = System.nanoTime()
     Bm25Search.searchPersisted(queries, index, 10).count()
     val querySec = (System.nanoTime() - t1) / 1e9
-    // single-query p50 latency (warm session): each query its own job,
-    // the reference's per-query perf_counter analog (searcher.py:101-114)
+    // single-query p50 latency over a WARM serving session — the
+    // reference's per-query perf_counter analog (searcher.py:101-114)
     import spark.implicits._
+    val session = graft.query.SearchSession.open(spark, dir)
     val singles = Synthesizer.queries(spark, 21, nDocs).as[(Long, String)].collect().toSeq
-    val lats = singles.map { case (qid, text) =>
-      val one = Seq((qid, text)).toDF("qid", "text")
+    val lats = singles.map { case (_, text) =>
       val s0 = System.nanoTime()
-      Bm25Search.searchPersisted(one, index, 10).count()
+      session.searchOne(text, 10).count()
       (System.nanoTime() - s0) / 1e9
     }.sorted
     val p50 = lats(lats.size / 2)

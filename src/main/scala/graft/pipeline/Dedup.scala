@@ -143,21 +143,24 @@ object Dedup {
     * maxDist ≤ 3), verified by exact hamming. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "chunk join is only pigeonhole-complete for maxDist <= 3")
+    // carry the signature as a packed long: hamming = popcount(xor) — one
+    // instruction per candidate pair instead of 64 substring compares
+    // (candidate volume is quadratic in bucket size, so the verify step
+    // is the hot loop)
     val sigs = simhashSignatures(docs)
-    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      .withColumn("sig_long", conv(col("simhash"), 2, 10).cast("long"))
+    val chunked = sigs.select(col("doc_id"), col("sig_long"),
       explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("cpos"),
           col("simhash").substr(c * 8 + 1, lit(8)).as("cval")))).as("ch"))
-      .select(col("doc_id"), col("simhash"), col("ch.cpos").as("cpos"), col("ch.cval").as("cval"))
-    val hamming = expr(
-      "aggregate(sequence(1, 32), 0, (acc, j) -> acc + IF(substring(a_sig, j, 1) = substring(b_sig, j, 1), 0, 1))")
+      .select(col("doc_id"), col("sig_long"), col("ch.cpos").as("cpos"), col("ch.cval").as("cval"))
     chunked.alias("a")
       .join(chunked.alias("b"), Seq("cpos", "cval"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("a_sig"), col("b.simhash").as("b_sig"))
+        col("a.sig_long").as("a_sig"), col("b.sig_long").as("b_sig"))
       .distinct()
-      .withColumn("hamming", hamming)
+      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
   }

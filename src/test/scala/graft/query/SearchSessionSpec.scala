@@ -1,0 +1,43 @@
+package graft.query
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.corpus.Synthesizer
+import graft.index.{IndexBuilder, IndexUpdater}
+
+/** Warm serving session: cached results identical to cold searches,
+  * including over a mutated (segment + tombstone) index. */
+class SearchSessionSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("session results ≡ cold persisted search; segments/tombstones respected") {
+    val dir = Files.createTempDirectory("graft-session").toString
+    IndexBuilder.build(spark, Synthesizer.pages(spark, 200, 3), dir, auditExtraction = false)
+    IndexUpdater.add(spark, dir,
+      Synthesizer.pages(spark, 40, 2, seed = 9L)
+        .withColumn("url", regexp_replace(col("url"), "example/", "example/x/")))
+    IndexUpdater.remove(spark, dir, Seq(3L, 5L))
+
+    val queries = Synthesizer.queries(spark, 15, 200)
+    val session = SearchSession.open(spark, dir)
+    try {
+      val warm = session.search(queries, 10)
+        .select(col("qid"), col("doc_id"), col("rank"), col("score"))
+        .as[(Long, Long, Int, Double)].collect().toSet
+      val cold = Bm25Search.searchPersisted(queries, IndexUpdater.openMerged(spark, dir), 10)
+        .select(col("qid"), col("doc_id"), col("rank"), col("score"))
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(warm == cold)
+      assert(warm.forall { case (_, docId, _, _) => docId != 3L && docId != 5L })
+
+      val one = session.searchOne("w1 w2", 5)
+      assert(one.count() == 5)
+    } finally session.close()
+  }
+}
