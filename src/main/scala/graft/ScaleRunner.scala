@@ -18,6 +18,16 @@ import graft.query.Bm25Search
   * 3× inflation by the fifth session), so each measurement forks, exactly
   * like one spark-submit per cluster size would. */
 object ScaleRunner {
+
+  private def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files => F, Paths}
+    val p = Paths.get(path)
+    if (F.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      F.walk(p).iterator().asScala.toSeq.reverse.foreach(F.deleteIfExists(_))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = args(0).toInt
     val nDocs = args(1).toLong
@@ -29,8 +39,9 @@ object ScaleRunner {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    IndexBuilder.build(spark, Synthesizer.pages(spark, 2000, cpus),
-      Files.createTempDirectory(s"graft-warm-$cpus").toString, auditExtraction = false)
+    val warmDir = Files.createTempDirectory(s"graft-warm-$cpus").toString
+    IndexBuilder.build(spark, Synthesizer.pages(spark, 2000, cpus), warmDir,
+      auditExtraction = false)
     // materialize the input corpus to parquet UNTIMED: synthesis cost is
     // not indexing throughput (a real pipeline reads pages from storage)
     val pagesDir = Files.createTempDirectory(s"graft-pages-$cpus").toString
@@ -40,8 +51,10 @@ object ScaleRunner {
     // one session are stable (unlike across sessions), and the min sheds
     // the VM's episodic CPU-steal bursts
     var dir = ""
+    val dirs = scala.collection.mutable.ArrayBuffer[String]()
     val buildSec = (1 to 2).map { r =>
       dir = Files.createTempDirectory(s"graft-scale-$cpus-$r").toString
+      dirs += dir
       val t0 = System.nanoTime()
       IndexBuilder.build(spark, pages, dir, auditExtraction = false)
       (System.nanoTime() - t0) / 1e9
@@ -64,5 +77,8 @@ object ScaleRunner {
     val p50 = lats(lats.size / 2)
     println(f"SCALE $cpus $buildSec%.3f $querySec%.3f $p50%.4f")
     spark.stop()
+    // a bench run must not leak tens of GB of temp indexes (the VM disk
+    // filled after a day of probing)
+    (Seq(warmDir, pagesDir) ++ dirs).foreach(deleteRecursively)
   }
 }

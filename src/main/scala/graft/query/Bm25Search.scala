@@ -105,6 +105,19 @@ object Bm25Search {
     searchFull(queries, probed, k, p)
   }
 
+  /** WAND over a persisted index with the query-term In-filter pushed to
+    * the parquet scan (same I/O pruning as [[searchPersisted]], same
+    * results as [[searchWand]]). */
+  def searchPersistedWand(queries: DataFrame, index: Bm25IndexTables, k: Int,
+                          p: Bm25Params = Bm25Params()): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val terms = queries
+      .select(explode(Tokenizer.tokenizeQuery(col("text"))).as("term"))
+      .distinct().as[String].collect().toSeq
+    searchWand(queries, index.copy(blocks = index.blocks.filter(col("term").isin(terms: _*))), k, p)
+  }
+
   /** Search restricted to an allowed docId set (reference pid filter /
     * restricted search, searcher.py:87-95, index_storage.py:91-101):
     * ranks 1..k are assigned WITHIN the allowed set. The restriction is a
@@ -149,15 +162,24 @@ object Bm25Search {
     *   postings; the kth best such single-term score is a LOWER bound θ on
     *   the true kth best full score (any subset + partial scoring can only
     *   under-estimate).
-    * stage B (candidates): per (qid, doc) upper bound = Σ_t qtf·idf_t ·
-    *   block_max_tfnorm(t, block(doc)); keep docs with ub ≥ θ. Every true
-    *   top-k doc survives (score ≤ ub and score ≥ true kth ≥ θ).
-    * stage C (exact): full scoring restricted to survivors, then top-k.
+    * stage B (candidates): classic WAND term ordering — per qid, terms
+    *   are sorted by their maximum possible contribution
+    *   mc_t = qtf·idf_t·(k1+1) (tf-saturation is bounded by k1+1), and the
+    *   maximal ascending prefix with Σ mc < θ is the WEAK set: a doc whose
+    *   postings lie only in weak terms cannot reach θ, so weak terms'
+    *   postings are NEVER TRAVERSED for candidate generation. Candidates
+    *   come from strong terms only, with upper bound
+    *   ub(doc) = Σ_strong qtf·idf·block_max + Σ_weak mc; keep ub ≥ θ.
+    *   Every true top-k doc survives (its true score ≤ ub).
+    * stage C (exact): decode only the blocks whose docId RANGE contains a
+    *   candidate (semi-join on block_no — candidates are few, so whole
+    *   stopword posting ranges are skipped), score exactly, top-k.
     *
-    * At scale the win is in stage B reading only doc_ids_enc +
-    * block_max_tfnorm (parquet column pruning — no tf/dl decode) and in
-    * stage C's semi-join shrinking the exact-scoring input by orders of
-    * magnitude for selective queries.
+    * At scale: stopword-grade terms are usually weak (huge df → small
+    * idf·(k1+1) vs θ from a rare term), so their 10^11-entry posting
+    * lists are read NEITHER for candidates NOR for exact scoring outside
+    * candidate block ranges — the degenerate O(postings) scan only
+    * remains for queries made exclusively of stopwords.
     */
   def searchWand(queries: DataFrame, index: Bm25IndexTables, k: Int,
                  p: Bm25Params = Bm25Params()): DataFrame = {
@@ -180,20 +202,42 @@ object Bm25Search {
       .filter(col("rn") === k)
       .select(col("qid"), col("score").as("theta"))
 
-    // Stage B: per-(qid, doc) upper bound from block maxima (docIds only).
+    // Stage B: weak/strong term split per qid (ascending max-contribution
+    // prefix below θ is weak), then upper bounds from STRONG terms only.
+    val wCum = Window.partitionBy(col("qid"))
+      .orderBy(col("mc").asc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qtermsSplit = qterms
+      .withColumn("mc", col("qtf") * col("idf") * lit(p.k1 + 1.0))
+      .join(theta, Seq("qid"), "left")
+      .withColumn("cum", sum(col("mc")).over(wCum))
+      .withColumn("weak", col("theta").isNotNull && col("cum") < col("theta"))
+    val weakSum = qtermsSplit.filter(col("weak"))
+      .groupBy(col("qid")).agg(sum(col("mc")).as("weak_sum"))
+    val strong = qtermsSplit.filter(!col("weak"))
+      .select(col("qid"), col("term"), col("qtf"), col("idf"))
+
     val ubHits = probed
-      .select(col("term"), (col("block_max_tfnorm") * lit(index.wandBoundScale)).as("block_max_tfnorm"),
+      .select(col("term"),
+        (col("block_max_tfnorm") * lit(index.wandBoundScale)).as("block_max_tfnorm"),
         explode(delta_varint_decode(col("doc_ids_enc"))).as("doc_id"))
-      .join(broadcast(qterms.select(col("qid"), col("term"), col("qtf"), col("idf"))), "term")
+      .join(broadcast(strong), "term")
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("qtf") * col("idf") * col("block_max_tfnorm")).as("ub"))
     val candidates = ubHits
-      .join(theta, Seq("qid"), "left")
-      .filter(col("theta").isNull || col("ub") >= col("theta"))
+      .join(broadcast(weakSum), Seq("qid"), "left")
+      .join(broadcast(theta), Seq("qid"), "left")
+      .filter(col("theta").isNull ||
+        (col("ub") + coalesce(col("weak_sum"), lit(0.0))) >= col("theta"))
       .select(col("qid"), col("doc_id"))
 
-    // Stage C: exact scoring of survivors only.
-    val decoded = index.decode(probed)
+    // Stage C: decode ONLY the blocks covering candidate docId ranges,
+    // score exactly (all query terms present in those ranges), top-k.
+    val candBlockNos = candidates
+      .select((col("doc_id") / p.blockSpan).cast("long").as("block_no"))
+      .distinct()
+    val decoded = index.decode(
+      probed.join(candBlockNos, Seq("block_no"), "left_semi"))
     val exact = scores(
       hits(qterms, decoded, index.corpusStats, p)
         .join(candidates, Seq("qid", "doc_id"), "left_semi"))
