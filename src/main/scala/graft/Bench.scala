@@ -114,11 +114,14 @@ object Bench {
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
 
+    // NOTE: this string is re-embedded in the outer stripMargin template,
+    // which would strip a line-leading "|" again — emit a leading space
+    // (markdown tables tolerate it)
     def pairMd(p: Pair): String =
-      f"""|| local[${p.nLow}]  | ${p.tLow}%.2f | ${p.tpLow}%.1f | ${p.qLow}%.2f | ${p.p50Low * 1000}%.0f |
-          || local[${p.nHigh}] | ${p.tHigh}%.2f | ${p.tpHigh}%.1f | ${p.qHigh}%.2f | ${p.p50High * 1000}%.0f |
-          |
-          |Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**""".stripMargin
+      f""" | local[${p.nLow}]  | ${p.tLow}%.2f | ${p.tpLow}%.1f | ${p.qLow}%.2f | ${p.p50Low * 1000}%.0f |
+ | local[${p.nHigh}] | ${p.tHigh}%.2f | ${p.tpHigh}%.1f | ${p.qHigh}%.2f | ${p.p50High * 1000}%.0f |
+
+Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
     val bench =
       f"""# BENCH — measured on this sandbox (single VM, 32 hw threads)
          |
