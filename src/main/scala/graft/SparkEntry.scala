@@ -189,6 +189,16 @@ object SparkEntry {
 
     "text_fingerprint" -> ((s, dir) => TextStats.fingerprints(docs(s, dir))),
 
+    // exact interpolated quantiles per source (SURVEY §2.5 A6 analog:
+    // the reference's residual-quantile bucketing as corpus statistics)
+    "doc_quantiles" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy(col("source"))
+        .agg(
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"),
+          count(lit(1)).as("n_docs"))),
+
     // ---- event-time analytics over the events table ----
     "events_windowed" -> ((s, dir) =>
       graft.pipeline.Events.windowedCounts(s.read.parquet(s"$dir/events.parquet"))),
@@ -534,6 +544,13 @@ object SparkEntry {
          |SELECT doc_id, fp AS fingerprint,
          |       (strpos('0123456789abcdef', substr(fp, 1, 1)) - 1)::INT AS shard
          |FROM t""".stripMargin,
+
+    "doc_quantiles" ->
+      s"""SELECT source,
+         |       round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+         |       round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+         |       count(*)::BIGINT AS n_docs
+         |FROM documents GROUP BY 1""".stripMargin,
 
     "events_windowed" ->
       s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
