@@ -59,8 +59,11 @@ object Bench {
       "-Xmx8g", "-XX:+UseParallelGC",
       "-cp", System.getProperty("java.class.path"),
       "graft.ScaleRunner", cpus.toString, nDocs.toString)
+    // merge stderr into the read pipe: the SCALE-line regex tolerates the
+    // surrounding log noise, and an undrained stderr pipe (>64KB of Spark
+    // warnings) would block the child and deadlock the bench
     val out = new StringBuilder
-    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(proc.getInputStream))
     var line = reader.readLine()
@@ -95,10 +98,17 @@ object Bench {
 
     // part 2: driver-contract per-query timings
     val spark = session(cpus)
+    // a failing query records -1 so breakage is visible in the artifact
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
+          name -> -1.0
+      }
     }
     spark.stop()
 

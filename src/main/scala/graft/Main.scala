@@ -30,9 +30,21 @@ object Main {
     s
   }
 
-  private def parseArgs(args: Seq[String]): Map[String, String] =
-    args.sliding(2, 2).collect { case Seq(k, v) if k.startsWith("--") => k.drop(2) -> v }.toMap ++
-      args.filter(a => a == "--no-audit").map(a => a.drop(2) -> "true").toMap
+  private val BooleanFlags = Set("--no-audit")
+
+  /** Left-to-right fold: boolean flags consume one token, --key value
+    * flags consume two — position-independent (a fixed-stride sliding
+    * window would mis-pair everything after an early boolean flag). */
+  private def parseArgs(args: Seq[String]): Map[String, String] = {
+    @annotation.tailrec
+    def go(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
+      case Nil => acc
+      case f :: tail if BooleanFlags(f) => go(tail, acc + (f.drop(2) -> "true"))
+      case k :: v :: tail if k.startsWith("--") => go(tail, acc + (k.drop(2) -> v))
+      case other :: _ => sys.error(s"unparseable argument: $other")
+    }
+    go(args.toList, Map.empty)
+  }
 
   private def readQueries(spark: SparkSession, path: String): DataFrame =
     if (path.endsWith(".tsv") || path.endsWith(".csv")) RankingIO.readQueriesTsv(spark, path)

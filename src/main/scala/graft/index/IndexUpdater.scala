@@ -51,7 +51,9 @@ object IndexUpdater {
 
   private def maxDocId(spark: SparkSession, indexDir: String): Long = {
     val dirs = IndexBuilder.stageDir(indexDir, "docs") +: segmentDirs(indexDir).map(d => s"$d/docs")
-    dirs.map(d => spark.read.parquet(d).agg(max(col("doc_id"))).head.getLong(0)).max
+    // coalesce: an empty docs table (all rows lang-filtered) yields NULL max
+    dirs.map(d => spark.read.parquet(d)
+      .agg(coalesce(max(col("doc_id")), lit(-1L))).head.getLong(0)).max
   }
 
   /** Index `pages` as a new segment; docIds continue after the current max
@@ -66,19 +68,41 @@ object IndexUpdater {
     segDir
   }
 
-  /** Tombstone the given docIds (idempotent union). */
+  /** Tombstone the given docIds (idempotent union). Fully distributed:
+    * old ∪ new is a DataFrame union-distinct written to a temp dir, then
+    * atomically swapped in — the tombstone set never passes through the
+    * driver (it is unbounded at web scale: a whole-crawl retraction can
+    * tombstone 10^9 docs). */
+  def remove(spark: SparkSession, indexDir: String, docIds: DataFrame): Unit = {
+    val dir = tombDir(indexDir)
+    val incoming = docIds.select(col("doc_id").cast("long").as("doc_id"))
+    val all =
+      if (TableManifest.exists(dir)) spark.read.parquet(dir).unionByName(incoming).distinct()
+      else incoming.distinct()
+    // write beside, then swap: overwriting the directory would race its
+    // own lazy-scanned input
+    val tmp = s"$dir.tmp-${System.nanoTime()}"
+    all.write.mode("overwrite").parquet(tmp)
+    val dirPath = Paths.get(dir)
+    if (Files.exists(dirPath)) deleteRecursively(dirPath)
+    Files.move(Paths.get(tmp), dirPath)
+    val lineage = TableManifest.lineageOf(spark, dir)
+    TableManifest.commit(dir, TableManifest("tombstones", 0L,
+      lineage.map(_.rows).sum, lineage, Map.empty))
+  }
+
+  /** Convenience overload for small driver-side id lists (CLI / tests). */
   def remove(spark: SparkSession, indexDir: String, docIds: Seq[Long]): Unit = {
     import spark.implicits._
-    val dir = tombDir(indexDir)
-    val existing =
-      if (TableManifest.exists(dir)) spark.read.parquet(dir).as[Long].collect().toSeq
-      else Seq.empty[Long]
-    // existing set is already collected driver-side, so overwriting the
-    // directory does not race its own input
-    val all = (existing ++ docIds).distinct.sorted
-    all.toDF("doc_id").coalesce(1).write.mode("overwrite").parquet(dir)
-    TableManifest.commit(dir, TableManifest("tombstones", 0L, all.size.toLong,
-      TableManifest.lineageOf(spark, dir), Map.empty))
+    remove(spark, indexDir, docIds.toDF("doc_id"))
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val it = Files.list(p).iterator()
+      while (it.hasNext) deleteRecursively(it.next())
+    }
+    Files.deleteIfExists(p)
   }
 
   def tombstones(spark: SparkSession, indexDir: String): Option[DataFrame] =

@@ -57,8 +57,19 @@ object Bm25Search {
         expr("aggregate(ps, 0d, (acc, x) -> acc + x.partial)").as("score"))
 
   /** rank 1..k per qid, ordered by (score desc, doc_id asc) — the
-    * reference's stable tiebreak (server.py:34 re-sorts (-score, pid)). */
-  def topK(scores: DataFrame, k: Int): DataFrame = {
+    * reference's stable tiebreak (server.py:34 re-sorts (-score, pid)).
+    *
+    * DEFAULT = the bounded-heap Aggregator: partial heaps merge map-side
+    * (the Spark-shaped version of the reference's per-thread heaps in
+    * filter_pids.cpp:27-123), so NO per-qid global sort shuffle runs — at
+    * web scale a window would sort-shuffle every (qid, doc) score. Rank-
+    * identical to [[topKWindow]] (property-tested in Bm25EngineSpec). */
+  def topK(scores: DataFrame, k: Int): DataFrame =
+    TopKAggregator.topK(scores, k)
+
+  /** Window-based top-k — the declarative oracle-parity variant (kept for
+    * plan comparison; the heap path is the default at scale). */
+  def topKWindow(scores: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id").asc)
     scores
       .withColumn("rank", row_number().over(w))
@@ -74,17 +85,21 @@ object Bm25Search {
     topK(scores(hits(qterms, decoded, index.corpusStats, p)), k)
   }
 
-  /** Distributed top-k via the bounded-heap Aggregator instead of a window
-    * (partial heaps merge map-side — the Spark-shaped version of the
-    * reference's per-thread heaps in filter_pids.cpp:27-123). Same rows as
-    * [[topK]]; preferable at scale because no per-qid global sort runs. */
-  def searchFullAgg(queries: DataFrame, index: Bm25IndexTables, k: Int,
-                    p: Bm25Params = Bm25Params()): DataFrame = {
+  /** [[searchFull]] with the window top-k — same rows, kept as the
+    * explicit declarative variant the DuckDB oracle mirrors. */
+  def searchFullWindow(queries: DataFrame, index: Bm25IndexTables, k: Int,
+                       p: Bm25Params = Bm25Params()): DataFrame = {
     val qterms = compileQueries(queries, index.termStats)
     val decoded = index.decode(
       index.blocks.join(broadcast(qterms.select(col("term")).distinct()), "term"))
-    TopKAggregator.topK(scores(hits(qterms, decoded, index.corpusStats, p)), k)
+    topKWindow(scores(hits(qterms, decoded, index.corpusStats, p)), k)
   }
+
+  /** Historical alias for the heap-aggregated path (now the [[searchFull]]
+    * default). */
+  def searchFullAgg(queries: DataFrame, index: Bm25IndexTables, k: Int,
+                    p: Bm25Params = Bm25Params()): DataFrame =
+    searchFull(queries, index, k, p)
 
   /** IVF-probe with real I/O pruning for a PERSISTED index: collect the
     * (small, ≤32·|queries|) distinct query term set at the driver and push

@@ -56,7 +56,8 @@ object StreamingIngest {
       .map(d => IndexBuilder.stageDir(d, "docs"))
       .filter(d => graft.catalog.TableManifest.exists(d))
     if (dirs.isEmpty) -1L
-    else dirs.map(d => spark.read.parquet(d).agg(max(col("doc_id"))).head.getLong(0)).max
+    else dirs.map(d => spark.read.parquet(d)
+      .agg(coalesce(max(col("doc_id")), lit(-1L))).head.getLong(0)).max
   }
 
   /** Event-time crawl monitoring: docs per (host, 1-hour warc_ts window),
