@@ -502,38 +502,50 @@ object SparkEntry {
       s"""WITH toks AS (SELECT doc_id, $ToksDoc AS toks FROM documents),
          |terms AS (SELECT doc_id, unnest(toks) AS term FROM toks),
          |tf AS (
-         |  SELECT doc_id, term, count(*)::DOUBLE AS tf, md5(term) AS h
+         |  SELECT doc_id, term, count(*)::DOUBLE AS tf,
+         |         md5(term) || md5('s|' || term) AS h
          |  FROM terms GROUP BY 1, 2
          |), w AS (
          |  SELECT doc_id, j,
          |         sum(tf * (strpos('0123456789abcdef', substr(h, j::INT, 1)) - 8.5)) AS w
-         |  FROM tf, range(1, 33) t(j) GROUP BY 1, 2
+         |  FROM tf, range(1, 65) t(j) GROUP BY 1, 2
          |), sig AS (
          |  SELECT doc_id,
          |         string_agg(CASE WHEN w > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
          |  FROM w GROUP BY 1
          |), chunks AS (
-         |  SELECT doc_id, simhash, c, substr(simhash, (c*8+1)::INT, 8) AS cval
+         |  SELECT doc_id, simhash, c, substr(simhash, (c*16+1)::INT, 16) AS cval
          |  FROM sig, range(0, 4) t(c)
+         |), capped AS (
+         |  SELECT c, cval FROM chunks GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000
+         |), cb AS (
+         |  SELECT ch.doc_id, ch.simhash, ch.c, ch.cval
+         |  FROM chunks ch JOIN capped USING (c, cval)
          |), cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |         a.simhash AS sa, b.simhash AS sb
-         |  FROM chunks a JOIN chunks b USING (c, cval) WHERE a.doc_id < b.doc_id
+         |  FROM cb a JOIN cb b USING (c, cval) WHERE a.doc_id < b.doc_id
          |)
          |SELECT doc_a, doc_b, hamming FROM (
          |  SELECT doc_a, doc_b,
-         |         len(list_filter(range(1, 33), j -> substr(sa, j::INT, 1) <> substr(sb, j::INT, 1)))::INT AS hamming
+         |         len(list_filter(range(1, 65), j -> substr(sa, j::INT, 1) <> substr(sb, j::INT, 1)))::INT AS hamming
          |  FROM cand
          |) WHERE hamming <= 3""".stripMargin,
 
+    // Jaccard over DISCRIMINATIVE shingles: df > 1000 shingles excluded
+    // from the universe (candidates AND counts) — mirrors maxShingleDf
     "dedup_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, $ToksDoc AS toks FROM documents),
          |shl AS (
          |  SELECT doc_id,
          |         [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] AS sh
          |  FROM toks
-         |), shf AS (
+         |), shf0 AS (
          |  SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(sh) AS s FROM shl)
+         |), keep AS (
+         |  SELECT s FROM shf0 GROUP BY 1 HAVING count(*) <= 1000
+         |), shf AS (
+         |  SELECT shf0.doc_id, shf0.s FROM shf0 JOIN keep USING (s)
          |), sizes AS (
          |  SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY 1
          |), common AS (
@@ -548,10 +560,14 @@ object SparkEntry {
          |WHERE c::DOUBLE / (sa.n_sh + sb.n_sh - c) >= 0.5""".stripMargin,
 
     "neardup_embedding" ->
-      s"""$IvfAssignCte
+      s"""$IvfAssignCte, bsz AS (
+         |  SELECT bucket FROM assign GROUP BY 1 HAVING count(*) BETWEEN 2 AND 1000
+         |), ac AS (
+         |  SELECT a.vec_id, a.emb, a.bucket FROM assign a JOIN bsz USING (bucket)
+         |)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |       round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
-         |FROM assign a JOIN assign b USING (bucket)
+         |FROM ac a JOIN ac b USING (bucket)
          |WHERE a.vec_id < b.vec_id
          |  AND round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4""".stripMargin,
 
@@ -576,13 +592,13 @@ object SparkEntry {
          |q AS (
          |  SELECT vec_id AS qid, emb AS q_emb FROM e WHERE vec_id IN (0, 1, 2, 3, 4)
          |), probes0 AS (
-         |  SELECT qid, q_emb, c_label,
+         |  SELECT qid, q_emb, c_id,
          |         list_cosine_similarity(q_emb, centroid) AS c_sim
          |  FROM q, cent
          |), probed AS (
-         |  SELECT qid, q_emb, c_label AS bucket FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY round(c_sim, 6) DESC, c_label ASC) AS rn
-         |    FROM probes0) WHERE rn <= 2
+         |  SELECT qid, q_emb, c_id AS bucket FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY round(c_sim, 6) DESC, c_id ASC) AS rn
+         |    FROM probes0) WHERE rn <= 4
          |), s AS (
          |  SELECT p.qid, a.vec_id, list_cosine_similarity(p.q_emb, a.emb) AS sim
          |  FROM assign a JOIN probed p USING (bucket) WHERE a.vec_id <> p.qid
@@ -704,24 +720,34 @@ object SparkEntry {
          |      FROM m)""".stripMargin
   )
 
-  /** Shared IVF CTE: double-cast embeddings, per-label mean centroids,
-    * nearest-centroid bucket assignment (ties → lower label; ordering on
-    * round(sim, 6) for cross-engine stability). */
+  /** Shared IVF CTE — the data-driven quantizer (k = ⌈√N⌉ sampled seeds +
+    * one Lloyd refinement), mirroring Similarity.trainedIvf: seeds are
+    * every ⌊N/k⌋-th vec_id; assignment ties → lower centroid id; all
+    * ordering on round(sim, 6) for cross-engine stability. */
   private val IvfAssignCte: String =
     """WITH e AS (
-      |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+      |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      |), params AS (
+      |  SELECT count(*)::BIGINT AS n, ceil(sqrt(count(*)))::BIGINT AS k FROM e
+      |), seeds AS (
+      |  SELECT vec_id AS c_id, emb AS centroid FROM e, params
+      |  WHERE vec_id % greatest(1, n // k) = 0
+      |), a1 AS (
+      |  SELECT vec_id, emb, c_id AS bucket FROM (
+      |    SELECT e.vec_id, e.emb, s.c_id,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY round(list_cosine_similarity(e.emb, s.centroid), 6) DESC, s.c_id ASC) AS rn
+      |    FROM e, seeds s) WHERE rn = 1
       |), cent AS (
-      |  SELECT label AS c_label, list(m ORDER BY d) AS centroid FROM (
-      |    SELECT label, d, avg(emb[d]) AS m FROM e, range(1, 65) t(d) GROUP BY 1, 2
-      |  ) GROUP BY label
-      |), assign0 AS (
-      |  SELECT vec_id, emb, c_label,
-      |         list_cosine_similarity(emb, centroid) AS c_sim
-      |  FROM e, cent
+      |  SELECT bucket AS c_id, list(m ORDER BY d) AS centroid FROM (
+      |    SELECT bucket, d, avg(emb[d]) AS m FROM a1, range(1, 65) t(d) GROUP BY 1, 2
+      |  ) GROUP BY bucket
       |), assign AS (
-      |  SELECT vec_id, emb, c_label AS bucket FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY round(c_sim, 6) DESC, c_label ASC) AS rn
-      |    FROM assign0) WHERE rn = 1
+      |  SELECT vec_id, emb, c_id AS bucket FROM (
+      |    SELECT e.vec_id, e.emb, c.c_id,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY round(list_cosine_similarity(e.emb, c.centroid), 6) DESC, c.c_id ASC) AS rn
+      |    FROM e, cent c) WHERE rn = 1
       |)""".stripMargin
 
   /** Eval CTE: extends the BM25 CTE with conjunctive qrels (doc relevant

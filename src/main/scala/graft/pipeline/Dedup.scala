@@ -112,20 +112,22 @@ object Dedup {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
 
-  /** SimHash-32 signature over md5 hex digits: bit j (1..32) = 1 iff
-    * Σ_terms tf·(hexdigit_j(md5(term)) − 7.5) > 0, rendered as a 32-char
-    * '0'/'1' string (engine-portable; a production variant packs 64 bits —
-    * identical plan shape). Relational formulation: (doc, term, tf) ×
-    * positions, weighted sum per (doc, position). */
+  /** SimHash-64 signature over md5 hex digits: bit j (1..64) = 1 iff
+    * Σ_terms tf·(hexdigit_j(md5(term)||md5('s|'||term)) − 7.5) > 0,
+    * rendered as a 64-char '0'/'1' string (engine-portable: the DuckDB
+    * oracle reproduces the hexdigit construction exactly). Relational
+    * formulation: (doc, term, tf) × positions, weighted sum per
+    * (doc, position). */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(Tokenizer.tokenizeDoc(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-      .withColumn("h", md5(col("term")))
+      // 64 hex digits = two md5s ('s|' salts the second)
+      .withColumn("h", concat(md5(col("term")), md5(concat(lit("s|"), col("term")))))
     tf
       .select(col("doc_id"), col("tf"), col("h"),
-        explode(sequence(lit(1), lit(32))).as("j"))
+        explode(sequence(lit(1), lit(64))).as("j"))
       .groupBy(col("doc_id"), col("j"))
       // hex digit value = instr('0123..f', ch) − 1; weight centers at 7.5
       .agg(sum(col("tf") *
@@ -139,44 +141,80 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDist (default 3):
-    * candidates share ≥1 of 4 8-bit chunks (pigeonhole-complete for
-    * maxDist ≤ 3), verified by exact hamming. */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    * candidates share ≥1 of 4 16-bit chunks (pigeonhole-complete for
+    * maxDist ≤ 3), verified by exact hamming on the packed signature.
+    *
+    * Scale: the candidate key space is 4×2^16 ≈ 262k buckets and grows
+    * with signature width, and `maxBucket` drops pathological buckets
+    * (boilerplate-heavy corpora collapse onto few signatures — a bucket
+    * of size m emits m²/2 pairs). Pairs are generated by ONE grouped
+    * pass per bucket, not a self-join, so the signature pipeline runs
+    * once and bucket fan-out is bounded by maxBucket². */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
     require(maxDist <= 3, "chunk join is only pigeonhole-complete for maxDist <= 3")
-    // carry the signature as a packed long: hamming = popcount(xor) — one
-    // instruction per candidate pair instead of 64 substring compares
-    // (candidate volume is quadratic in bucket size, so the verify step
-    // is the hot loop)
+    // packed halves: hamming = popcount(xor(hi)) + popcount(xor(lo)) — two
+    // instructions per candidate pair instead of 64 substring compares
+    // (a single 64-bit conv would overflow signed long for high bit 1)
     val sigs = simhashSignatures(docs)
-      .withColumn("sig_long", conv(col("simhash"), 2, 10).cast("long"))
-    val chunked = sigs.select(col("doc_id"), col("sig_long"),
+      .withColumn("hi", conv(col("simhash").substr(1, 32), 2, 10).cast("long"))
+      .withColumn("lo", conv(col("simhash").substr(33, 32), 2, 10).cast("long"))
+    val chunked = sigs.select(col("doc_id"), col("hi"), col("lo"),
       explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("cpos"),
-          col("simhash").substr(c * 8 + 1, lit(8)).as("cval")))).as("ch"))
-      .select(col("doc_id"), col("sig_long"), col("ch.cpos").as("cpos"), col("ch.cval").as("cval"))
-    chunked.alias("a")
-      .join(chunked.alias("b"), Seq("cpos", "cval"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig_long").as("a_sig"), col("b.sig_long").as("b_sig"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
+          col("simhash").substr(c * 16 + 1, lit(16)).as("cval")))).as("ch"))
+      .select(col("doc_id"), col("hi"), col("lo"),
+        col("ch.cpos").as("cpos"), col("ch.cval").as("cval"))
+    chunked
+      .groupBy(col("cpos"), col("cval"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("hi"), col("lo")))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  a -> transform(slice(ids, a + 1, size(ids) - a),
+          |    b -> struct(ids[a - 1] AS pa, b AS pb))))""".stripMargin)).as("p"))
+      .select(col("p.pa.doc_id").as("doc_a"), col("p.pb.doc_id").as("doc_b"),
+        (bit_count(col("p.pa.hi").bitwiseXOR(col("p.pb.hi"))) +
+         bit_count(col("p.pa.lo").bitwiseXOR(col("p.pb.lo")))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+      .distinct()
   }
 
-  /** Exact n-gram Jaccard near-dups: pairs (doc_a < doc_b) with
-    * |shingles_a ∩ shingles_b| / |shingles_a ∪ shingles_b| ≥ threshold.
-    * Candidates come ONLY from the shared-shingle equi-join (a pair with
-    * zero common shingles has similarity 0 and is never materialized). */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+  /** Exact n-gram Jaccard near-dups over DISCRIMINATIVE shingles: pairs
+    * (doc_a < doc_b) with |A∩B|/|A∪B| ≥ threshold, where A/B are each
+    * doc's distinct shingles with document frequency ≤ `maxShingleDf`.
+    *
+    * The df cap is the scale guard: without it, one boilerplate trigram
+    * ("terms of service …") appearing in 10^8 docs makes the shared-
+    * shingle join emit 10^16 pairs. High-df shingles carry no similarity
+    * signal (they are common to everything), so they are dropped from the
+    * shingle universe — candidate generation AND the intersection/union
+    * counts — keeping the operator's output a true Jaccard over the
+    * capped universe. A shingle kept by the cap fans out ≤ cap²/2 pairs.
+    *
+    * Plan shape: ONE groupBy(shingle) feeds both the per-doc sizes and
+    * the pair counts (no self-join re-evaluating the shingle pipeline). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                        maxShingleDf: Int = 1000): DataFrame = {
     val sh = docs
       .select(col("doc_id"),
         explode(array_distinct(shingles(Tokenizer.tokenizeDoc(col("text")), n))).as("s"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = sh.alias("a").join(sh.alias("b"), "s")
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val grouped = sh
+      .groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxShingleDf)
+      // both consumers (sizes + pair counts) branch off the same
+      // groupBy(s) exchange — Spark reuses the shuffle (ReusedExchange)
+      .select(col("ids"))
+    val sizes = grouped
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = grouped
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  a -> transform(slice(ids, a + 1, size(ids) - a),
+          |    b -> struct(ids[a - 1] AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")

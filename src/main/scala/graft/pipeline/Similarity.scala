@@ -12,13 +12,25 @@ import org.apache.spark.sql.functions._
   * (colbert/search/candidate_generation.py:45-64, IVF at
   * colbert/indexing/utils.py:8-64).
   *
+  * Coarse quantizer: k = ⌈√N⌉ DATA-DRIVEN centroids — every ⌊N/k⌋-th
+  * vector seeds a cluster, refined by one Lloyd iteration (assign →
+  * per-cluster mean → reassign). This is the k-means shape of the
+  * reference (faiss k-means over a sample, collection_indexer.py:500-517,
+  * with num_partitions ∝ √(16·N) at indexer settings) kept deterministic
+  * and engine-portable so the DuckDB oracle reproduces it bit-for-bit.
+  * k grows with N, so buckets stay ~√N-sized: the same-bucket work of
+  * near-dup blocking and probed search scales as N^1.5 TOTAL (Σ m²,
+  * m≈√N) instead of collapsing quadratic — and the per-bucket cap drops
+  * pathological clusters (mirror of Dedup.maxBucket).
+  *
   * Scale design: brute force is the correctness baseline (O(Q·N·d), fine
-  * for reranking shortlists); the IVF path clusters vectors into buckets
-  * (nearest of k data-derived centroids), probes only `nprobe` buckets per
-  * query → candidate set shrinks by ~k/nprobe, with the centroid table
-  * broadcast exactly like the BM25 df/avgdl stats. All arithmetic in
-  * double, summed in ascending element order (aggregate HOF) — portable
-  * to the oracle bit-for-bit before rounding.
+  * for reranking shortlists); the IVF path probes only `nprobe` buckets
+  * per query → candidate set shrinks ~k/nprobe, with the k×d centroid
+  * table broadcast exactly like the BM25 df/avgdl stats. All arithmetic
+  * in double, summed in ascending element order (aggregate HOF) —
+  * portable to the oracle before rounding; ordering always on
+  * round(sim, 6) + integer tiebreak, because raw-double ordering can flip
+  * near-ties between engines.
   */
 object Similarity {
 
@@ -50,50 +62,69 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("rank"), round(col("sim"), 4).as("sim"))
   }
 
-  /** Data-derived coarse quantizer: per-label mean vector (k = #labels
-    * centroids). Computed relationally (posexplode → per-(label, dim)
-    * mean) so the oracle can reproduce it exactly. */
-  def labelCentroids(emb: DataFrame): DataFrame =
-    emb.select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
-      .groupBy(col("label"), col("d"))
-      .agg(avg(col("v")).as("m"))
-      .groupBy(col("label"))
+  /** k for a corpus of n vectors: ⌈√n⌉ (faiss-style growth). */
+  def kForCorpus(n: Long): Int =
+    math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Deterministic seed sample: every `step`-th vec_id, as double
+    * centroids keyed by the seed's vec_id. */
+  def seedCentroids(emb: DataFrame, step: Long): DataFrame =
+    emb.filter(col("vec_id") % step === 0)
+      .select(col("vec_id").as("c_id"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+
+  /** Nearest-centroid assignment by cosine: (vec_id, embedding, bucket).
+    * Centroids (k ≈ √N rows) are broadcast; the winner per vector is a
+    * grouped min over struct(−round(sim,6), c_id) — partial-aggregable,
+    * no per-vector window sort. Ties → lower c_id. */
+  def assign(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        cosine(col("embedding"), col("centroid")).as("c_sim"))
+      .groupBy(col("vec_id"))
+      .agg(
+        min(struct((-round(col("c_sim"), 6)).as("ns"), col("c_id").as("c"))).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("m.c").as("bucket"))
+
+  /** Per-cluster per-dimension mean of an assignment — the Lloyd update,
+    * computed relationally (posexplode → avg) so the oracle matches. */
+  def meanCentroids(assigned: DataFrame): DataFrame =
+    assigned.select(col("bucket"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy(col("bucket"), col("d"))
+      .agg(avg(col("v").cast("double")).as("m"))
+      .groupBy(col("bucket"))
       .agg(transform(
         array_sort(collect_list(struct(col("d"), col("m")))),
         e => e.getField("m")).as("centroid"))
+      .select(col("bucket").as("c_id"), col("centroid"))
 
-  /** Assign each vector to its nearest centroid by cosine (ties → lower
-    * label). The IVF bucket column. Centroids are broadcast. */
-  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val s2 = emb.crossJoin(broadcast(centroids.select(col("label").as("c_label"), col("centroid"))))
-      .select(col("vec_id"), col("embedding"), col("c_label"),
-        cosine(col("embedding"), col("centroid")).as("c_sim"))
-    // rank on ROUNDED sims: double kernels in different engines agree to
-    // ~1 ulp, so ordering on round(·, 6) + integer tiebreak is the same
-    // everywhere, while raw-double ordering could flip near-ties.
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(round(col("c_sim"), 6).desc, col("c_label").asc)
-    s2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_label").as("bucket"))
+  /** Data-driven IVF: ⌈√N⌉ sampled seeds + one Lloyd refinement.
+    * Returns (centroids, assignment); both reused by search and blocking. */
+  def trainedIvf(emb: DataFrame): (DataFrame, DataFrame) = {
+    val n = emb.count()
+    val k = kForCorpus(n)
+    val step = math.max(1L, n / k)
+    val refined = meanCentroids(assign(emb, seedCentroids(emb, step)))
+    (refined, assign(emb, refined))
   }
 
   /** IVF-probed ANN top-k: queries probe their `nprobe` nearest centroids
     * and score only vectors in those buckets. Approximate by design —
     * recall vs [[bruteForceTopK]] is measured in tests; semantics (probe
     * order, tiebreaks) are fixed so the oracle matches exactly. */
-  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, nprobe: Int = 2): DataFrame = {
-    val centroids = labelCentroids(emb)
-    val assigned = ivfAssign(emb, centroids)
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, nprobe: Int = 4): DataFrame = {
+    val (centroids, assigned) = trainedIvf(emb)
     val queries = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
-    val probes = queries.crossJoin(broadcast(centroids.select(col("label").as("c_label"), col("centroid"))))
-      .select(col("qid"), col("q_emb"), col("c_label"),
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("q_emb"), col("c_id"),
         cosine(col("q_emb"), col("centroid")).as("c_sim"))
     val wp = Window.partitionBy(col("qid"))
-      .orderBy(round(col("c_sim"), 6).desc, col("c_label").asc)
+      .orderBy(round(col("c_sim"), 6).desc, col("c_id").asc)
     val probed = probes.withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("q_emb"), col("c_label").as("bucket"))
+      .select(col("qid"), col("q_emb"), col("c_id").as("bucket"))
     val scored = assigned.join(broadcast(probed), "bucket")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
@@ -106,13 +137,20 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥ τ),
-    * blocked by IVF bucket: only same-bucket pairs are compared (the
-    * standard near-dup blocking — candidates outside a bucket are assumed
-    * dissimilar; recall measured in tests). Avoids the full O(N²) cross
-    * join: cost is Σ_buckets m². */
-  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
-    val assigned = ivfAssign(emb, labelCentroids(emb))
-    assigned.alias("a").join(assigned.alias("b"), "bucket")
+    * blocked by the trained IVF bucket: only same-bucket pairs are
+    * compared (candidates outside a bucket are assumed dissimilar; recall
+    * measured in tests). Bucket count ⌈√N⌉ grows with the data, and
+    * `maxBucket` drops degenerate clusters, so the Σ m² same-bucket work
+    * stays ~N^1.5 with bounded skew — never the full O(N²) cross join. */
+  def embeddingNearDups(emb: DataFrame, threshold: Double,
+                        maxBucket: Int = 1000): DataFrame = {
+    val (_, assigned) = trainedIvf(emb)
+    val keptBuckets = assigned.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m").between(2, maxBucket))
+      .select(col("bucket"))
+    val inCapped = assigned.join(broadcast(keptBuckets), Seq("bucket"), "left_semi")
+    inCapped.alias("a").join(inCapped.alias("b"), "bucket")
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosine(col("a.embedding"), col("b.embedding")).as("sim"))

@@ -64,6 +64,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(res.forall(_._3 <= 3))
   }
 
+  test("jaccard df cap drops boilerplate shingles from candidates AND counts") {
+    // every doc shares the same boilerplate prefix; each pair also shares
+    // nothing rare — with the cap at 1 every shared shingle exceeds df=1
+    // and no pair can form; with a high cap the clones score J=1
+    val withCap = Dedup.ngramJaccardPairs(docs, threshold = 0.5, maxShingleDf = 1)
+    assert(withCap.count() == 0L, "df<=1 shingles can never be shared by a pair")
+    val noCap = Dedup.ngramJaccardPairs(docs, threshold = 0.5, maxShingleDf = 1000000)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    (0L until 10L).foreach(i => assert(noCap.contains((i, 300L + i))))
+  }
+
+  test("simhash bucket cap bounds candidate generation") {
+    // maxBucket=1 leaves no bucket with >=2 members -> zero candidates
+    assert(Dedup.simhashPairs(docs, maxBucket = 1).count() == 0L)
+    // plans stay pair-bounded: the generator is a grouped collect, never a
+    // bucket self-join re-evaluating the signature pipeline
+    val plan = Dedup.simhashPairs(docs).queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan.take(500))
+  }
+
+  test("trained IVF recall vs brute force is usable at nprobe=4") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    val ivf = Similarity.ivfTopK(emb, qs, 10)
+      .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, qs, 10)
+      .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    info(f"IVF recall@10 vs brute (k=sqrt(N), nprobe=4): $recall%.3f")
+    assert(recall >= 0.5, f"recall collapsed: $recall%.3f")
+  }
+
   test("embedding near-dups: every emitted pair verifies against local cosine") {
     val emb = (0 until 60).map { i =>
       // two planted near-identical vectors: 50 ≈ 0
