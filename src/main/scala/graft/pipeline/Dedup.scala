@@ -60,40 +60,39 @@ object Dedup {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
-  /** MinHash signatures, relational formulation: explode shingles, compute
-    * 4 md5s per shingle (seed groups 0..3), slice each into 4 8-hex-char
-    * sub-hashes → 16 hash functions from 4 digests; per-(doc, i) min via
-    * grouped partial aggregation. ONE pipeline, no per-row 16× digest
-    * recompute, scales as a plain shuffle on (doc_id, i).
-    * hash_i(s) = substr(md5((i/4) || '|' || s), (i%4)*8 + 1, 8). */
-  def minhashMins(docs: DataFrame, n: Int = 3): DataFrame = {
+  /** Per-doc MinHash signature as ONE fused scalar pass (no explode, no
+    * shuffle, no intermediate arrays): see [[MinhashSignatureExpr]]. The
+    * previous relational formulation exploded |shingles|×16 rows through
+    * a (doc_id, i) shuffle for the same result.
+    * Docs with < n tokens (no shingles) are dropped (null signature). */
+  def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame = {
     val toks = Tokenizer.tokenizeDoc(col("text"))
     docs
-      .select(col("doc_id"), explode(shingles(toks, n)).as("s"))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("g"),
-        col("s"))
-      .select(col("doc_id"), col("g"),
-        md5(concat(col("g").cast("string"), lit("|"), col("s"))).as("h"))
-      .select(col("doc_id"), col("g"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          k => col("h").substr(k * 8 + 1, lit(8)))).as(Seq("k", "sub")))
-      .select(col("doc_id"), (col("g") * 4 + col("k")).as("i"),
-        col("sub").as("hv"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(col("hv")).as("h"))
+      .select(col("doc_id"),
+        MinhashSignature.minhash_signature(shingles(toks, n)).as("mins"))
+      .filter(col("mins").isNotNull)
   }
+
+  /** Row view of [[minhashSignatures]]: (doc_id, i, h) — kept for tests
+    * and oracle shape; the 16-row fanout happens AFTER the per-doc min. */
+  def minhashMins(docs: DataFrame, n: Int = 3): DataFrame =
+    minhashSignatures(docs, n)
+      .select(col("doc_id"), posexplode(col("mins")).as(Seq("i", "h")))
 
   /** (doc_id, band, key): LSH band keys, 4 bands of 4 signature rows;
     * band key = md5(band || '|' || concat of its 4 mins in i-order).
-    * Docs with < n tokens (no shingles) never reach here (no rows). */
+    * Fully fused into [[MinhashSignature.minhash_band_keys]] (a SINGLE
+    * plan reference — re-slicing an exposed signature column 16× would
+    * let CollapseProject recompute the signature per reference). The
+    * first shuffle of the whole MinHash pipeline is the bucket grouping
+    * in [[minhashPairs]]; explode of the null (shingle-less) signature
+    * emits no rows, preserving the docs-with-<n-tokens contract. */
   def minhashBands(docs: DataFrame, n: Int = 3): DataFrame =
-    minhashMins(docs, n)
-      .groupBy(col("doc_id"), (col("i") / 4).cast("int").as("band"))
-      .agg(concat_ws("", transform(
-        array_sort(collect_list(struct(col("i"), col("h")))),
-        e => e.getField("h"))).as("cat"))
-      .select(col("doc_id"), col("band"),
-        md5(concat(col("band").cast("string"), lit("|"), col("cat"))).as("key"))
+    docs
+      .select(col("doc_id"),
+        explode(MinhashSignature.minhash_band_keys(
+          shingles(Tokenizer.tokenizeDoc(col("text")), n))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
   /** Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band.
     * Pairs are generated from ONE grouped pass per bucket (no self-join
