@@ -8,8 +8,14 @@ import graft.codec.VarintExpressions._
 
 /** BM25 parameters fixed by the project contract (BASELINE.md):
   * k1=0.9, b=0.4, idf = ln((N−df+0.5)/(df+0.5)+1).
+  *
+  * `termIdSeed`: salt for the 64-bit term-id hash (see
+  * [[Bm25Index.termId]]). 0 = unsalted. The build audits id injectivity
+  * over the vocabulary and fails fast on a collision — rebuild with a
+  * different seed (recorded in the stage manifest config).
   */
-case class Bm25Params(k1: Double = 0.9, b: Double = 0.4, blockSpan: Long = 8192)
+case class Bm25Params(k1: Double = 0.9, b: Double = 0.4, blockSpan: Long = 8192,
+                      termIdSeed: Int = 0)
 
 /** Inverted-index build as composable DataFrame transforms.
   *
@@ -37,6 +43,19 @@ case class Bm25Params(k1: Double = 0.9, b: Double = 0.4, blockSpan: Long = 8192)
   *   give query-time partition pruning (the IVF-probe analog).
   */
 object Bm25Index {
+
+  /** 64-bit term id = xxhash64(term) — the dictionary encoding of
+    * SURVEY §2.11 (reference analog: compress_into_codes maps every
+    * token to an int32 centroid code so nothing downstream touches
+    * strings, colbert/indexing/codecs/residual.py:204-220). The posting
+    * blocks, the build's one big shuffle, and every query-time join key
+    * on this fixed-width long instead of the raw term string — at a
+    * 10^8–10^9-term web vocabulary that shrinks shuffle rows and probe
+    * keys several-fold. Injectivity over the vocabulary is audited at
+    * build time (termstats stage); on a collision the build fails fast
+    * and a salted seed re-keys the index. */
+  def termId(term: org.apache.spark.sql.Column, seed: Int = 0): org.apache.spark.sql.Column =
+    if (seed == 0) xxhash64(term) else xxhash64(lit(seed), term)
 
   /** (doc_id, text, …) → (doc_id, term) — one row per token occurrence,
     * after lowercase/split/truncate-220 (SURVEY §2.3 T2). */
@@ -80,16 +99,20 @@ object Bm25Index {
       count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
 
-  /** (term, df, idf) — document frequency + Robertson idf. The df
+  /** (term, term_id, df, idf) — document frequency + Robertson idf, plus
+    * the dictionary id (the ONLY place strings map to ids: queries compile
+    * through this table, so they never hash at query time). The df
     * histogram is the lexical analog of the reference's codes bincount
     * (collection_indexer.py:475). */
-  def termStats(postings: DataFrame, corpusStats: DataFrame): DataFrame =
+  def termStats(postings: DataFrame, corpusStats: DataFrame,
+                termIdSeed: Int = 0): DataFrame =
     postings
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(corpusStats))
       .select(
         col("term"),
+        termId(col("term"), termIdSeed).as("term_id"),
         col("df"),
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0).as("idf"))
 
@@ -100,32 +123,35 @@ object Bm25Index {
       (tf.cast("double") + lit(p.k1) * (lit(1.0 - p.b) + lit(p.b) * dl.cast("double") / avgdl))
 
   /** Compressed posting blocks:
-    * (term, block_no, n, doc_ids_enc, tfs_enc, dls_enc, block_max_tfnorm).
+    * (term_id, block_no, n, doc_ids_enc, tfs_enc, dls_enc, block_max_tfnorm).
     *
-    * docIds are delta+varint encoded (strictly increasing within a block),
-    * tf and dl plain varint. block_max_tfnorm is the block-max WAND bound
-    * (max over entries of the tf-saturation term; upper bound of any
-    * in-block score contribution is idf * block_max_tfnorm).
-    * Reference analog: residual-compressed chunks + IVF
-    * (colbert/indexing/codecs/residual.py:167-202, indexing/utils.py:8-64).
+    * Keyed by the 64-bit [[termId]] — the term STRING never enters the
+    * blocks shuffle or the stored table (dictionary decompilation goes
+    * through termStats). docIds are delta+varint encoded (strictly
+    * increasing within a block), tf and dl plain varint. block_max_tfnorm
+    * is the block-max WAND bound (max over entries of the tf-saturation
+    * term; upper bound of any in-block score contribution is
+    * idf * block_max_tfnorm). Reference analog: residual-compressed
+    * chunks + IVF over int32 codes
+    * (colbert/indexing/codecs/residual.py:167-220, indexing/utils.py:8-64).
     */
   def blocks(postingsWithDl: DataFrame, corpusStats: DataFrame,
              p: Bm25Params): DataFrame =
     postingsWithDl
       .select(
-        col("term"),
+        termId(col("term"), p.termIdSeed).as("term_id"),
         (col("doc_id") / p.blockSpan).cast("long").as("block_no"),
         col("doc_id"), col("tf"), col("dl"))
-      .groupBy(col("term"), col("block_no"))
+      .groupBy(col("term_id"), col("block_no"))
       .agg(collect_list(struct(col("doc_id"), col("tf"), col("dl"))).as("entries"))
       .crossJoin(broadcast(corpusStats.select(col("avgdl"))))
       // one fused pass: sort + delta+varint + block-max (BlockEncodeExpr)
       .select(
-        col("term"),
+        col("term_id"),
         col("block_no"),
         graft.codec.BlockEncode.block_encode(col("entries"), col("avgdl"), p.k1, p.b).as("be"))
       .select(
-        col("term"),
+        col("term_id"),
         col("block_no"),
         col("be.n").as("n"),
         col("be.doc_ids_enc").as("doc_ids_enc"),
@@ -133,18 +159,19 @@ object Bm25Index {
         col("be.dls_enc").as("dls_enc"),
         col("be.block_max_tfnorm").as("block_max_tfnorm"))
 
-  /** Inverse of [[blocks]]: explode back to (term, doc_id, tf, dl). Used by
-    * the scorer; proves the codec round-trips inside one Catalyst plan. */
+  /** Inverse of [[blocks]]: explode back to (term_id, doc_id, tf, dl).
+    * Used by the scorer; proves the codec round-trips inside one Catalyst
+    * plan. */
   def decodeBlocks(blocks: DataFrame): DataFrame =
     blocks
       .select(
-        col("term"),
+        col("term_id"),
         explode(arrays_zip(
           delta_varint_decode(col("doc_ids_enc")).as("doc_id"),
           varint_decode(col("tfs_enc")).as("tf"),
           varint_decode(col("dls_enc")).as("dl"))).as("e"))
       .select(
-        col("term"),
+        col("term_id"),
         col("e.doc_id").as("doc_id"),
         col("e.tf").as("tf"),
         col("e.dl").as("dl"))

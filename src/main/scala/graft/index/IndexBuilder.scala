@@ -162,19 +162,31 @@ object IndexBuilder {
       statsReport.snapshotId, Seq.empty, Map.empty)
     val blocksReport = runStage(spark, indexDir, "blocks", blocksParent, baseCfg) {
       Bm25Index.blocks(postings, corpus, p)
-        .repartition(parts, col("term"), col("block_no"))
-        .sortWithinPartitions(col("term"), col("block_no"))
+        .repartition(parts, col("term_id"), col("block_no"))
+        .sortWithinPartitions(col("term_id"), col("block_no"))
     }
     reports += blocksReport
 
-    // -- termstats (df/idf + global block-max upper bound per term) -------
+    // -- termstats (dictionary + df/idf + global block-max per term) ------
     val termReport = runStage(spark, indexDir, "termstats", blocksReport.snapshotId, baseCfg) {
       val blocks = spark.read.parquet(stageDir(indexDir, "blocks"))
-      val perTermMax = blocks.groupBy(col("term"))
+      val perTermMax = blocks.groupBy(col("term_id"))
         .agg(max(col("block_max_tfnorm")).as("max_tfnorm"))
-      Bm25Index.termStats(postings, corpus).join(perTermMax, "term")
+      Bm25Index.termStats(postings, corpus, p.termIdSeed).join(perTermMax, "term_id")
     }
     reports += termReport
+
+    // term-id injectivity audit (vocabulary-sized, one aggregation): a
+    // 64-bit hash collision would silently merge two posting lists —
+    // fail fast and re-key with a different termIdSeed instead
+    if (!termReport.skipped) {
+      val ts = spark.read.parquet(stageDir(indexDir, "termstats"))
+      val a = ts.agg(count_distinct(col("term")).as("nt"),
+        count_distinct(col("term_id")).as("ni")).head
+      require(a.getLong(0) == a.getLong(1),
+        s"term-id hash collision (${a.getLong(0)} terms, ${a.getLong(1)} ids) " +
+          s"at seed ${p.termIdSeed}: rebuild with a different Bm25Params.termIdSeed")
+    }
     reports.toSeq
   }
 

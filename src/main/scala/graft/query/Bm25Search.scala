@@ -27,18 +27,18 @@ object Bm25Search {
       .select(col("qid"), explode(Tokenizer.tokenizeQuery(col("text"))).as("term"))
       .groupBy(col("qid"), col("term"))
       .agg(count(lit(1)).cast("int").as("qtf"))
-      .join(termStats.select(col("term"), col("idf")), "term")
+      .join(termStats.select(col("term"), col("term_id"), col("idf")), "term")
 
   /** Score hits: compiled query terms ⋈ decoded postings on term.
     * The query side is broadcast (J1 in SURVEY §2.4 — the IVF probe). */
   def hits(qterms: DataFrame, postingsWithDl: DataFrame, corpusStats: DataFrame,
            p: Bm25Params = Bm25Params()): DataFrame =
     postingsWithDl
-      .join(broadcast(qterms), "term")
+      .join(broadcast(qterms.drop("term")), "term_id")
       .crossJoin(broadcast(corpusStats))
       .select(
         col("qid"),
-        col("term"),
+        col("term_id"),
         col("doc_id"),
         (col("qtf") * col("idf") *
           Bm25Index.tfNorm(col("tf"), col("dl"), col("avgdl"), p)).as("partial"))
@@ -50,7 +50,7 @@ object Bm25Search {
   def scores(hits: DataFrame): DataFrame =
     hits
       .groupBy(col("qid"), col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("term"), col("partial")))).as("ps"))
+      .agg(sort_array(collect_list(struct(col("term_id"), col("partial")))).as("ps"))
       .select(
         col("qid"),
         col("doc_id"),
@@ -81,7 +81,7 @@ object Bm25Search {
                  p: Bm25Params = Bm25Params()): DataFrame = {
     val qterms = compileQueries(queries, index.termStats)
     val decoded = index.decode(
-      index.blocks.join(broadcast(qterms.select(col("term")).distinct()), "term"))
+      index.blocks.join(broadcast(qterms.select(col("term_id")).distinct()), "term_id"))
     topK(scores(hits(qterms, decoded, index.corpusStats, p)), k)
   }
 
@@ -91,7 +91,7 @@ object Bm25Search {
                        p: Bm25Params = Bm25Params()): DataFrame = {
     val qterms = compileQueries(queries, index.termStats)
     val decoded = index.decode(
-      index.blocks.join(broadcast(qterms.select(col("term")).distinct()), "term"))
+      index.blocks.join(broadcast(qterms.select(col("term_id")).distinct()), "term_id"))
     topKWindow(scores(hits(qterms, decoded, index.corpusStats, p)), k)
   }
 
@@ -109,14 +109,22 @@ object Bm25Search {
     * reference's IVF lookup touching only probed centroids
     * (colbert/search/candidate_generation.py:22-37). Returns the same rows
     * as [[searchFull]] on the unfiltered index. */
-  def searchPersisted(queries: DataFrame, index: Bm25IndexTables, k: Int,
-                      p: Bm25Params = Bm25Params()): DataFrame = {
+  /** Distinct term_ids of a query batch, via the termStats dictionary
+    * (≤32·|queries| longs — bounded metadata, not data). */
+  private def queryTermIds(queries: DataFrame, termStats: DataFrame): Seq[Long] = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val terms = queries
+    queries
       .select(explode(Tokenizer.tokenizeQuery(col("text"))).as("term"))
-      .distinct().as[String].collect().toSeq
-    val probed = index.copy(blocks = index.blocks.filter(col("term").isin(terms: _*)))
+      .distinct()
+      .join(termStats.select(col("term"), col("term_id")), "term")
+      .select(col("term_id")).as[Long].collect().toSeq
+  }
+
+  def searchPersisted(queries: DataFrame, index: Bm25IndexTables, k: Int,
+                      p: Bm25Params = Bm25Params()): DataFrame = {
+    val ids = queryTermIds(queries, index.termStats)
+    val probed = index.copy(blocks = index.blocks.filter(col("term_id").isin(ids: _*)))
     searchFull(queries, probed, k, p)
   }
 
@@ -125,12 +133,8 @@ object Bm25Search {
     * results as [[searchWand]]). */
   def searchPersistedWand(queries: DataFrame, index: Bm25IndexTables, k: Int,
                           p: Bm25Params = Bm25Params()): DataFrame = {
-    val spark = queries.sparkSession
-    import spark.implicits._
-    val terms = queries
-      .select(explode(Tokenizer.tokenizeQuery(col("text"))).as("term"))
-      .distinct().as[String].collect().toSeq
-    searchWand(queries, index.copy(blocks = index.blocks.filter(col("term").isin(terms: _*))), k, p)
+    val ids = queryTermIds(queries, index.termStats)
+    searchWand(queries, index.copy(blocks = index.blocks.filter(col("term_id").isin(ids: _*))), k, p)
   }
 
   /** Search restricted to an allowed docId set (reference pid filter /
@@ -142,7 +146,7 @@ object Bm25Search {
                        allowedDocs: DataFrame, p: Bm25Params = Bm25Params()): DataFrame = {
     val qterms = compileQueries(queries, index.termStats)
     val decoded = index.decode(
-      index.blocks.join(broadcast(qterms.select(col("term")).distinct()), "term"))
+      index.blocks.join(broadcast(qterms.select(col("term_id")).distinct()), "term_id"))
       .join(allowedDocs.select(col("doc_id")), Seq("doc_id"), "left_semi")
     topK(scores(hits(qterms, decoded, index.corpusStats, p)), k)
   }
@@ -199,8 +203,8 @@ object Bm25Search {
   def searchWand(queries: DataFrame, index: Bm25IndexTables, k: Int,
                  p: Bm25Params = Bm25Params()): DataFrame = {
     val qterms = compileQueries(queries, index.termStats).cache()
-    val qtermsOnly = broadcast(qterms.select(col("term")).distinct())
-    val probed = index.blocks.join(qtermsOnly, "term")
+    val qtermsOnly = broadcast(qterms.select(col("term_id")).distinct())
+    val probed = index.blocks.join(qtermsOnly, "term_id")
 
     // Stage A: θ per qid from the rarest (max-idf, term-asc tiebreak) term.
     val wRare = Window.partitionBy(col("qid")).orderBy(col("idf").desc, col("term").asc)
@@ -209,7 +213,7 @@ object Bm25Search {
       .filter(col("rn") === 1)
       .drop("rn")
     val rareDecoded = index.decode(
-      index.blocks.join(broadcast(rarest.select(col("term")).distinct()), "term"))
+      index.blocks.join(broadcast(rarest.select(col("term_id")).distinct()), "term_id"))
     val rareScores = scores(hits(rarest, rareDecoded, index.corpusStats, p))
     val wTheta = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id").asc)
     val theta = rareScores
@@ -230,13 +234,13 @@ object Bm25Search {
     val weakSum = qtermsSplit.filter(col("weak"))
       .groupBy(col("qid")).agg(sum(col("mc")).as("weak_sum"))
     val strong = qtermsSplit.filter(!col("weak"))
-      .select(col("qid"), col("term"), col("qtf"), col("idf"))
+      .select(col("qid"), col("term_id"), col("qtf"), col("idf"))
 
     val ubHits = probed
-      .select(col("term"),
+      .select(col("term_id"),
         (col("block_max_tfnorm") * lit(index.wandBoundScale)).as("block_max_tfnorm"),
         explode(delta_varint_decode(col("doc_ids_enc"))).as("doc_id"))
-      .join(broadcast(strong), "term")
+      .join(broadcast(strong), "term_id")
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("qtf") * col("idf") * col("block_max_tfnorm")).as("ub"))
     val candidates = ubHits
@@ -300,7 +304,7 @@ object Bm25IndexTables {
     val corpus = Bm25Index.corpusStats(Bm25Index.docStats(docs))
     Bm25IndexTables(
       blocks = Bm25Index.blocks(postings, corpus, p),
-      termStats = Bm25Index.termStats(postings, corpus),
+      termStats = Bm25Index.termStats(postings, corpus, p.termIdSeed),
       corpusStats = corpus)
   }
 }

@@ -100,13 +100,16 @@ class IndexBuilderSpec extends AnyFunSuite {
     want.foreach { case (q, w) => assert(got(q) == w, s"qid=$q") }
   }
 
-  test("persisted blocks scan prunes by term (PushedFilters present in plan)") {
+  test("persisted blocks scan prunes by term_id (PushedFilters present in plan)") {
     val dir = tmpDir()
     IndexBuilder.build(spark, pages, dir)
     val index = IndexBuilder.open(spark, dir)
-    val plan = index.blocks.filter(col("term").isin("w1", "w2"))
+    // resolve ids through the dictionary, as searchPersisted does
+    val ids = index.termStats.filter(col("term").isin("w1", "w2"))
+      .select(col("term_id")).as[Long].collect().toSeq
+    val plan = index.blocks.filter(col("term_id").isin(ids: _*))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") && plan.contains("In(term"), plan)
+    assert(plan.contains("PushedFilters") && plan.contains("In(term_id"), plan)
   }
 
   test("build at different parallelism yields identical postings + identical search results") {

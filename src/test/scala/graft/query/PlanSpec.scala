@@ -63,7 +63,8 @@ class PlanSpec extends AnyFunSuite {
     val index = IndexBuilder.open(spark, dir)
     val queries = Synthesizer.queries(spark, 5, 200)
     val plan = planOf(Bm25Search.searchPersisted(queries, index, 10))
-    assert(plan.contains("PushedFilters: [In(term"), plan)
+    // pushed on the 64-bit dictionary id (long), not the term string
+    assert(plan.contains("PushedFilters: [In(term_id"), plan)
   }
 
   test("blocks build has exactly one data shuffle (the grouped block aggregation)") {
@@ -79,7 +80,7 @@ class PlanSpec extends AnyFunSuite {
     IndexBuilder.build(spark, Synthesizer.pages(spark, 200, 3), dir, auditExtraction = false)
     val blocks = IndexBuilder.open(spark, dir).blocks
     val ubScan = blocks
-      .select(col("term"), col("block_max_tfnorm"),
+      .select(col("term_id"), col("block_max_tfnorm"),
         explode(graft.codec.VarintExpressions.delta_varint_decode(col("doc_ids_enc"))).as("doc_id"))
     val plan = planOf(ubScan)
     // tf/dl payloads must NOT be read for the upper-bound pass
