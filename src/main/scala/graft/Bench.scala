@@ -9,19 +9,22 @@ import org.apache.spark.sql.SparkSession
   *  "scaling":{...}}
   *
   * Parts:
-  * 1. north-rule two-cluster-size scaling evidence (run FIRST, in clean
-  *    JVM state — a prior query sweep measurably inflates later builds):
-  *    the identical persisted index build (synthesize → extract → docIds →
-  *    postings → blocks → stats) on the SAME input at parallelism N and
-  *    4N, reporting docs/sec at both and efficiency (tp_4N/tp_N)/4.
-  *    Two pairs:
-  *      - local[2] vs local[8]: the primary N-vs-4N evidence — on this
-  *        sandbox's single shared memory bus, low core counts isolate the
-  *        algorithmic scaling from bus saturation, like separate executor
-  *        nodes would;
-  *      - local[8] vs local[32]: the full-machine pair, reported with the
-  *        caveat that 32 threads share one memory bus + episodic
-  *        hypervisor steal (this VM shows bursts of stolen CPU).
+  * 1. north-rule two-cluster-size scaling evidence: the identical
+  *    persisted index build (extract → docIds → postings → blocks →
+  *    stats) over the SAME pre-written parquet corpus at parallelism N
+  *    and 4N, reporting docs/sec at both and efficiency (tp_4N/tp_N)/4.
+  *    Protocol (each measurement its own spark-submit-like JVM):
+  *      - the corpus is synthesized and written ONCE by this parent — both
+  *        levels read identical bytes;
+  *      - each fork is taskset-pinned to exactly `cpus` cores AND has
+  *        -XX:ActiveProcessorCount=cpus, so the JVM's GC/JIT/pool sizing
+  *        matches a real N-core executor node (without this the 2-core
+  *        baseline borrows 32-core JVM services and the ratio is fiction);
+  *      - build time = min of 3 in-session builds (sheds hypervisor-steal
+  *        bursts; this VM shows ~3% bursty steal);
+  *      - the primary local[2] vs local[8] pair runs THREE consecutive
+  *        times (reproducibility evidence, not one lucky roll); the
+  *        full-machine local[8] vs local[32] pair runs once.
   * 2. per-query wall time of every SparkEntry query on $SPARK_GRAFT_SF_DIR
   *    (the driver contract).
   *
@@ -41,10 +44,9 @@ object Bench {
     s
   }
 
-  /** One scaling measurement in an ISOLATED child JVM (see ScaleRunner —
-    * successive sessions in one JVM degrade ~3×; forking mirrors one
-    * spark-submit per cluster size). Returns (build sec, query sec). */
-  private def scaleRun(cpus: Int, nDocs: Long): (Double, Double, Double) = {
+  /** One scaling measurement in an ISOLATED, core-pinned child JVM (see
+    * ScaleRunner). Returns (build sec, query sec, p50 sec). */
+  private def scaleRun(cpus: Int, nDocs: Long, pagesDir: String): (Double, Double, Double) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -55,10 +57,20 @@ object Bench {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar"
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      "-Xmx8g", "-XX:+UseParallelGC",
+    // pin to the first `cpus` cores — a dedicated N-core executor node.
+    // taskset makes availableProcessors() == cpus; ActiveProcessorCount is
+    // belt-and-braces for environments without sched_getaffinity awareness
+    val pin =
+      if (new java.io.File("/usr/bin/taskset").exists())
+        Seq("/usr/bin/taskset", "-c", s"0-${cpus - 1}")
+      else Seq.empty
+    // heap scales with cores (2 GB/core): N vs 4N EXECUTORS means 4× the
+    // aggregate memory too — a fixed heap would hand the low-core baseline
+    // 4× the per-core memory and bill the high-core run 4× the GC pressure
+    val cmd = pin ++ Seq(javaBin) ++ addOpens ++ Seq(
+      s"-Xmx${2 * cpus}g", "-XX:+UseParallelGC", s"-XX:ActiveProcessorCount=$cpus",
       "-cp", System.getProperty("java.class.path"),
-      "graft.ScaleRunner", cpus.toString, nDocs.toString)
+      "graft.ScaleRunner", cpus.toString, nDocs.toString, pagesDir)
     // merge stderr into the read pipe: the SCALE-line regex tolerates the
     // surrounding log noise, and an undrained stderr pipe (>64KB of Spark
     // warnings) would block the child and deadlock the bench
@@ -82,22 +94,44 @@ object Bench {
     def eff: Double = (tpHigh / tpLow) / (nHigh.toDouble / nLow)
   }
 
-  private def runPair(nLow: Int, nHigh: Int, docs: Long): Pair = {
-    val (tl, ql, pl) = scaleRun(nLow, docs)
-    val (th, qh, ph) = scaleRun(nHigh, docs)
+  private def runPair(nLow: Int, nHigh: Int, docs: Long, pagesDir: String): Pair = {
+    val (tl, ql, pl) = scaleRun(nLow, docs, pagesDir)
+    val (th, qh, ph) = scaleRun(nHigh, docs, pagesDir)
     Pair(nLow, nHigh, docs, tl, th, ql, qh, pl, ph)
+  }
+
+  private def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files => F, Paths}
+    val p = Paths.get(path)
+    if (F.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      F.walk(p).iterator().asScala.toSeq.reverse.foreach(F.deleteIfExists(_))
+    }
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val docsA = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "600000").toLong
+    val docsB = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS2", "1000000").toLong
+    val pairARuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt
 
-    // part 1: scaling evidence, clean JVM state
-    val pairA = runPair(2, 8, sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "600000").toLong)
-    val pairB = runPair(8, 32, sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS2", "1000000").toLong)
+    // Parent session: synthesize both scale corpora ONCE (fast at
+    // local[32]; children read identical parquet bytes), reused later for
+    // the per-query sweep. ONE session for the parent JVM's whole life —
+    // successive sessions in a JVM degrade later builds (ScaleRunner doc).
+    val spark = session(cpus)
+    val pagesDirA = Files.createTempDirectory("graft-bench-pages-a").toString
+    val pagesDirB = Files.createTempDirectory("graft-bench-pages-b").toString
+    corpus.Synthesizer.pages(spark, docsA, 128).write.mode("overwrite").parquet(pagesDirA)
+    corpus.Synthesizer.pages(spark, docsB, 128).write.mode("overwrite").parquet(pagesDirB)
+
+    // part 1: scaling evidence — primary pair ×3 (reproducibility), full-
+    // machine pair ×1
+    val pairsA = (1 to pairARuns).map(_ => runPair(2, 8, docsA, pagesDirA))
+    val pairB = runPair(8, 32, docsB, pagesDirB)
 
     // part 2: driver-contract per-query timings
-    val spark = session(cpus)
     // a failing query records -1 so breakage is visible in the artifact
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -111,16 +145,23 @@ object Bench {
       }
     }
     spark.stop()
+    Seq(pagesDirA, pagesDirB).foreach(deleteRecursively)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    def pairJson(tag: String, p: Pair): String =
+    val effRuns = pairsA.map(_.eff).sorted
+    val effMedian = effRuns(effRuns.size / 2)
+    val pairAMed = pairsA.sortBy(_.eff).apply(pairsA.size / 2)
+    def pairJson(tag: String, p: Pair, extra: String = ""): String =
       f""""$tag":{"cores":"${p.nLow}v${p.nHigh}","n_docs":${p.docs},""" +
       f""""build_sec_low":${p.tLow}%.2f,"build_sec_high":${p.tHigh}%.2f,""" +
       f""""docs_per_sec_low":${p.tpLow}%.1f,"docs_per_sec_high":${p.tpHigh}%.1f,""" +
       f""""efficiency":${p.eff}%.3f,"query_batch40_sec_high":${p.qHigh}%.2f,""" +
-      f""""query_p50_sec_high":${p.p50High}%.4f}"""
-    val scaling = s"{${pairJson("n_vs_4n", pairA)},${pairJson("full_machine", pairB)}}"
+      f""""query_p50_sec_high":${p.p50High}%.4f$extra}"""
+    val runsJson = pairsA.map(p => f"${p.eff}%.3f").mkString("[", ",", "]")
+    val scaling =
+      s"""{${pairJson("n_vs_4n", pairAMed, s""","efficiency_runs":$runsJson""")},""" +
+      s"""${pairJson("full_machine", pairB)}}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
 
@@ -132,21 +173,40 @@ object Bench {
  | local[${p.nHigh}] | ${p.tHigh}%.2f | ${p.tpHigh}%.1f | ${p.qHigh}%.2f | ${p.p50High * 1000}%.0f |
 
 Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
+    val runsMd = pairsA.zipWithIndex.map { case (p, i) =>
+      f"| run ${i + 1} | ${p.tLow}%.2f | ${p.tHigh}%.2f | ${p.tpLow}%.1f | ${p.tpHigh}%.1f | **${p.eff}%.3f** |"
+    }.mkString("\n")
     val bench =
-      f"""# BENCH — measured on this sandbox (single VM, 32 hw threads)
+      f"""# BENCH — measured on this sandbox (single VM, 32 cores, no SMT)
          |
          |## North-rule scaling evidence (same input, N vs 4N parallelism)
          |
-         |Full persisted index build (synthesize -> extract -> dense docIds ->
-         |zero-shuffle postings -> compressed blocks -> stats), identical
-         |input at both parallelism levels (sandbox stand-in for N vs 4N
-         |executors, per driver instruction). Target: efficiency >= 0.8.
+         |Full persisted index build (extract -> dense docIds -> zero-shuffle
+         |postings -> term-id dictionary -> compressed blocks -> stats) over
+         |ONE pre-written parquet corpus, read identically at both
+         |parallelism levels (sandbox stand-in for N vs 4N executors, per
+         |driver instruction). Each measurement is an isolated child JVM
+         |taskset-pinned to exactly its core count with
+         |-XX:ActiveProcessorCount to match (a dedicated N-core executor
+         |node: GC/JIT/pool threads sized to the node, not the machine) and
+         |heap scaled at 2 GB/core (N vs 4N executors means 4x the
+         |aggregate memory; a fixed heap would bill the high-core run 4x
+         |the GC pressure); build time = min of 3 in-session builds after a
+         |1/30-scale JIT warmup build. Target: efficiency >= 0.8.
          |
-         |### Primary pair: local[2] vs local[8] (${pairA.docs} docs)
+         |### Primary pair: local[2] vs local[8] (${pairsA.head.docs} docs) — ${pairsA.size} consecutive protocol runs
+         |
+         || run | build sec @2 | build sec @8 | docs/sec @2 | docs/sec @8 | efficiency |
+         || --- | --- | --- | --- | --- | --- |
+         |$runsMd
+         |
+         |Median efficiency: **$effMedian%.3f** (runs: ${effRuns.map(e => f"$e%.3f").mkString(", ")}).
+         |
+         |Median-run detail:
          |
          || parallelism | build sec | docs/sec | 40-query batch sec | single-query p50 ms |
          || --- | --- | --- | --- | --- |
-         |${pairMd(pairA)}
+         |${pairMd(pairAMed)}
          |
          |Low core counts isolate algorithmic scaling from the single
          |shared memory bus of this VM — the closer analog of adding
@@ -158,14 +218,12 @@ Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
          || --- | --- | --- | --- | --- |
          |${pairMd(pairB)}
          |
-         |Caveat: all 32 threads share one memory bus, and this Firecracker
-         |VM shows episodic CPU steal (observed: ±40%% run-to-run variance on
-         |identical builds) — both depress the high-core ratio in ways a
-         |multi-node cluster does not. Across repeated clean runs this
-         |session the 2v8 efficiency ranged 0.63–1.08 (GC thread count
-         |scales with cores, so the 2-core baseline is itself noisy); the
-         |measurement protocol (forked JVMs, warmup build, min of two timed
-         |builds per session, input read from parquet) is the stable part.
+         |Caveat: at 32 cores all threads share one memory bus and the
+         |hypervisor's episodic CPU steal (~3%% average, bursty) lands
+         |somewhere every run — both depress the high-core ratio in ways a
+         |multi-node cluster does not. The pinned-JVM protocol above is the
+         |controlled experiment; this pair is the honesty check at full
+         |machine width.
          |
          |## Per-query wall time (sf=$sfDir, local[$cpus], seconds)
          |

@@ -205,6 +205,18 @@ object SparkEntry {
           round(col("score"), 4).as("score"))
     }),
 
+    // extraction-span search: per top-10 (qid, doc), each matching query
+    // term's first-occurrence span (token pos + char offsets) and exact
+    // BM25 partial — the fork's rationale-extraction feature, lexically
+    // (colbert/searcher.py:161-217; SURVEY §2.4 J8 + §2.3 T4)
+    "bm25_extract_spans" -> ((s, dir) => {
+      val index = indexFor(s, dir)
+      Bm25Search.searchExtractions(flagshipQueriesDf(s), index, docs(s, dir), 10)
+        .select(col("qid"), col("doc_id"), col("rank"), col("term"),
+          col("token_pos"), col("start_char"), col("end_char"),
+          round(col("partial"), 4).as("partial"))
+    }),
+
     // union of two rankings, best score per (qid, doc), re-ranked
     // (SURVEY §2.8 E2)
     "ranking_merge" -> ((s, dir) => {
@@ -400,6 +412,55 @@ object SparkEntry {
          |SELECT term, df,
          |       round(ln(((SELECT count(*) FROM documents) - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf
          |FROM df""".stripMargin,
+
+    // Char-by-char tokenizer reconstruction over the top docs only: token =
+    // maximal [\p{L}\p{Nd}] run, positions 1-based in DuckDB → 0-based
+    // token_pos/start_char, end_char exclusive. Exact because the corpus is
+    // single-code-unit text (Java char offsets ≡ SQL char positions); the
+    // partial recomputation doubles as a cross-check that spans land on the
+    // same tokens the scorer counted.
+    "bm25_extract_spans" ->
+      s"""$Bm25Cte, top AS (
+         |  SELECT qid, doc_id, rank FROM ranked WHERE rank <= 10
+         |), tdocs AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT doc_id FROM top)
+         |), charidx AS (
+         |  SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i FROM tdocs
+         |), chars AS (
+         |  SELECT doc_id, i, substr(text, i::INT, 1) AS ch FROM charidx
+         |), cl AS (
+         |  SELECT doc_id, i, ch, regexp_matches(ch, '[\\p{L}\\p{Nd}]') AS alnum FROM chars
+         |), marked AS (
+         |  SELECT doc_id, i, ch, alnum,
+         |         CASE WHEN alnum AND NOT coalesce(lag(alnum) OVER (PARTITION BY doc_id ORDER BY i), FALSE)
+         |              THEN 1 ELSE 0 END AS tok_start
+         |  FROM cl
+         |), numbered AS (
+         |  SELECT doc_id, i, ch, alnum,
+         |         sum(tok_start) OVER (PARTITION BY doc_id ORDER BY i) AS tok_no
+         |  FROM marked
+         |), tokspan AS (
+         |  SELECT doc_id, tok_no, lower(string_agg(ch, '' ORDER BY i)) AS term,
+         |         (min(i) - 1)::INT AS start_char, max(i)::INT AS end_char
+         |  FROM numbered WHERE alnum GROUP BY 1, 2 HAVING tok_no <= 220
+         |), occ AS (
+         |  SELECT t.qid, t.doc_id, t.rank, ts.term, ts.tok_no, ts.start_char, ts.end_char
+         |  FROM top t JOIN tokspan ts USING (doc_id)
+         |  JOIN qterms q ON q.qid = t.qid AND q.term = ts.term
+         |), firsts AS (
+         |  SELECT qid, doc_id, rank, term, min(tok_no) AS tok_no, count(*)::INT AS tf
+         |  FROM occ GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT f.qid, f.doc_id, f.rank, f.term,
+         |       (f.tok_no - 1)::INT AS token_pos, o.start_char, o.end_char,
+         |       round(q.qtf * i.idf * (f.tf * (0.9 + 1.0) /
+         |         (f.tf + 0.9 * (1.0 - 0.4 + 0.4 * dl.dl / s.avgdl))), 4) AS partial
+         |FROM firsts f
+         |JOIN occ o ON o.qid = f.qid AND o.doc_id = f.doc_id AND o.term = f.term AND o.tok_no = f.tok_no
+         |JOIN qterms q ON q.qid = f.qid AND q.term = f.term
+         |JOIN idf i ON i.term = f.term
+         |JOIN dl ON dl.doc_id = f.doc_id
+         |CROSS JOIN stats s""".stripMargin,
 
     "bm25_topk" -> Bm25TopkSql,
     "bm25_topk_wand" -> Bm25TopkSql,

@@ -8,7 +8,8 @@ object StageProbe {
     val n = sys.env.getOrElse("PROBE_DOCS", "500000").toLong
     for (cpus <- sys.env.getOrElse("PROBE_CPUS", "8,32").split(",").map(_.trim.toInt)) {
       val spark = SparkSession.builder().master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus.toString)
+        .config("spark.sql.shuffle.partitions",
+          (cpus * sys.env.getOrElse("PROBE_SHUFFLE_MULT", "1").toInt).toString)
         .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       // warmup
@@ -16,13 +17,15 @@ object StageProbe {
         Files.createTempDirectory(s"warm-$cpus").toString, auditExtraction = false)
       val pagesDir = Files.createTempDirectory(s"probe-pages-$cpus").toString
       Synthesizer.pages(spark, n, cpus * 4).write.mode("overwrite").parquet(pagesDir)
-      val dir = Files.createTempDirectory(s"probe-$cpus").toString
-      val t0 = System.nanoTime()
-      val reps = IndexBuilder.build(spark, spark.read.parquet(pagesDir), dir,
-        auditExtraction = false)
-      val total = (System.nanoTime() - t0) / 1e9
-      println(f"PROBE cpus=$cpus total=$total%.1f " +
-        reps.map(r => f"${r.stage}=${r.seconds}%.1f").mkString(" "))
+      for (rep <- 1 to sys.env.getOrElse("PROBE_REPS", "1").toInt) {
+        val dir = Files.createTempDirectory(s"probe-$cpus-$rep").toString
+        val t0 = System.nanoTime()
+        val reps = IndexBuilder.build(spark, spark.read.parquet(pagesDir), dir,
+          auditExtraction = false)
+        val total = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE cpus=$cpus rep=$rep total=$total%.1f " +
+          reps.map(r => f"${r.stage}=${r.seconds}%.1f").mkString(" "))
+      }
       spark.stop()
     }
   }

@@ -161,8 +161,12 @@ object IndexBuilder {
     val blocksParent = TableManifest.snapshotId("chain", postingsReport.snapshotId,
       statsReport.snapshotId, Seq.empty, Map.empty)
     val blocksReport = runStage(spark, indexDir, "blocks", blocksParent, baseCfg) {
+      // the groupBy inside Bm25Index.blocks already hash-partitions on
+      // (term_id, block_no) — an explicit repartition here would be a
+      // SECOND full exchange of the encoded blocks for the same layout.
+      // Only the within-partition sort is added, so parquet row groups
+      // are clustered by term_id for query-time min/max pruning.
       Bm25Index.blocks(postings, corpus, p)
-        .repartition(parts, col("term_id"), col("block_no"))
         .sortWithinPartitions(col("term_id"), col("block_no"))
     }
     reports += blocksReport

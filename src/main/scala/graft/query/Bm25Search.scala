@@ -164,6 +164,67 @@ object Bm25Search {
     index.copy(termStats = pruned)
   }
 
+  /** Extraction-span search — the lexical analog of the fork's signature
+    * feature (`Searcher.search_extractions`, colbert/searcher.py:161-217;
+    * colbert/search/extractions_search.py; per-token max scores at
+    * colbert/modeling/colbert.py:190-193): the reference reports, for each
+    * (query, passage), each passage token's max similarity to any query
+    * token plus the char-span offset mapping of the rationale tokens. In
+    * BM25 every occurrence of a matching term contributes the same
+    * per-(term,doc) partial, so the per-token score vector collapses to
+    * one row per matching query term carrying its FIRST-occurrence span
+    * (token position + char offsets via [[Tokenizer.tokenize_with_offsets]],
+    * the reference's offset mapping at doc_tokenization.py:60-65) and its
+    * exact BM25 partial contribution.
+    *
+    * Scale shape: spans are computed only over the top-k docs of each
+    * query (≤ k·|queries| rows joined back to text — a broadcast-size
+    * set), never over the corpus; the corpus-wide work is [[searchFull]].
+    *
+    * Output: (qid, doc_id, rank, term, token_pos, start_char, end_char,
+    * partial) — token_pos 0-based, end_char exclusive, offsets in chars
+    * over the original text.
+    */
+  def searchExtractions(queries: DataFrame, index: Bm25IndexTables,
+                        docsText: DataFrame, k: Int,
+                        p: Bm25Params = Bm25Params()): DataFrame = {
+    val ranking = searchFull(queries, index, k, p)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val qterms = compileQueries(queries, index.termStats)
+    val topDocs = ranking.join(docsText.select(col("doc_id"), col("text")), "doc_id")
+
+    // re-tokenizing the ≤ k·|queries| result docs is cheaper than carrying
+    // per-doc dl through the ranking; identical by construction
+    val dl = topDocs.select(col("doc_id"), col("text")).distinct()
+      .select(col("doc_id"), size(Tokenizer.tokenizeDoc(col("text"))).as("dl"))
+
+    val toks = topDocs.select(
+      col("qid"), col("doc_id"), col("rank"),
+      posexplode(Tokenizer.tokenize_with_offsets(col("text"), Tokenizer.DocMaxTerms)))
+      .select(col("qid"), col("doc_id"), col("rank"),
+        col("pos"), col("col.term").as("term"),
+        col("col.start").as("start"), col("col.end").as("end"))
+
+    toks
+      .join(broadcast(qterms.select(col("qid"), col("term"), col("qtf"), col("idf"))),
+        Seq("qid", "term"))
+      .groupBy(col("qid"), col("doc_id"), col("rank"), col("term"))
+      .agg(
+        count(lit(1)).cast("int").as("tf"),
+        min(struct(col("pos"), col("start"), col("end"))).as("fst"),
+        first(col("qtf")).as("qtf"),
+        first(col("idf")).as("idf"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(index.corpusStats.select(col("avgdl"))))
+      .select(
+        col("qid"), col("doc_id"), col("rank"), col("term"),
+        col("fst.pos").as("token_pos"),
+        col("fst.start").as("start_char"),
+        col("fst.end").as("end_char"),
+        (col("qtf") * col("idf") *
+          Bm25Index.tfNorm(col("tf"), col("dl"), col("avgdl"), p)).as("partial"))
+  }
+
   /** Merge rankings (reference utility/rankings/merge.py:14-41): per
     * (qid, doc) keep the best score across inputs, then re-rank 1..k. */
   def mergeRankings(rankings: Seq[DataFrame], k: Int): DataFrame =

@@ -95,6 +95,37 @@ class Bm25EngineSpec extends AnyFunSuite {
     assert(small == large)
   }
 
+  test("extraction spans: first-occurrence offsets are exact, partials sum to the full score") {
+    val index = Bm25IndexTables.fromDocs(docsWithIds)
+    val full = Bm25Search.searchFull(queriesDf, index, K)
+    val ext = Bm25Search.searchExtractions(queriesDf, index, docsWithIds, K)
+    val textById = docsLocal.toMap
+    val rows = ext.select(col("qid"), col("doc_id"), col("rank"), col("term"),
+        col("token_pos"), col("start_char"), col("end_char"), col("partial"))
+      .as[(Long, Long, Int, String, Int, Int, Int, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, d, _, term, pos, st, en, _) =>
+      val text = textById(d)
+      assert(text.substring(st, en).toLowerCase == term,
+        s"span [$st,$en) of doc $d is not '$term'")
+      val toks = graft.analysis.Tokenizer.tokenizeWithOffsets(text, 220)
+      assert(toks(pos) == ((term, st, en)), s"token_pos $pos mismatch in doc $d")
+      assert(toks.indexWhere(_._1 == term) == pos,
+        s"'$term' span in doc $d is not the FIRST occurrence")
+    }
+    // every reported span term really drives the score: per-(qid,doc)
+    // partials sum to the searchFull score (same tf/dl/avgdl arithmetic;
+    // summation order differs, hence the 1e-9 tolerance instead of ==)
+    val scores = full.select(col("qid"), col("doc_id"), col("score"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, d, s0) => (q, d) -> s0 }.toMap
+    val sums = rows.groupBy(r => (r._1, r._2)).map { case (k, rs) => k -> rs.map(_._8).sum }
+    assert(sums.keySet == scores.keySet)
+    sums.foreach { case (k, s0) =>
+      assert(math.abs(s0 - scores(k)) < 1e-9, s"partial sum != score for $k")
+    }
+  }
+
   test("randomized corpora: WAND ≡ full across 5 seeds (pruning never drops a top-k doc)") {
     (1 to 5).foreach { seed =>
       val docs = Synthesizer.pages(spark, 150, 3, seed = seed.toLong * 1000 + 7)
