@@ -20,8 +20,9 @@ import org.apache.spark.sql.SparkSession
   *        -XX:ActiveProcessorCount=cpus, so the JVM's GC/JIT/pool sizing
   *        matches a real N-core executor node (without this the 2-core
   *        baseline borrows 32-core JVM services and the ratio is fiction);
-  *      - build time = min of 3 in-session builds (sheds hypervisor-steal
-  *        bursts; this VM shows ~3% bursty steal);
+  *      - build time = min of 5 in-session builds, after a 1/10-scale
+  *        warmup build (sheds JIT convergence and the VM's episodic
+  *        contention windows in which identical builds run ~2x slow);
   *      - the primary local[2] vs local[8] pair runs THREE consecutive
   *        times (reproducibility evidence, not one lucky roll); the
   *        full-machine local[8] vs local[32] pair runs once.
@@ -191,8 +192,10 @@ Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
          |node: GC/JIT/pool threads sized to the node, not the machine) and
          |heap scaled at 2 GB/core (N vs 4N executors means 4x the
          |aggregate memory; a fixed heap would bill the high-core run 4x
-         |the GC pressure); build time = min of 3 in-session builds after a
-         |1/30-scale JIT warmup build. Target: efficiency >= 0.8.
+         |the GC pressure); build time = min of 5 in-session builds after a
+         |1/10-scale JIT warmup build (this VM shows episodic ~30-60s
+         |contention windows running identical builds ~2x slow — the min
+         |over 5 lands outside them). Target: efficiency >= 0.8.
          |
          |### Primary pair: local[2] vs local[8] (${pairsA.head.docs} docs) — ${pairsA.size} consecutive protocol runs
          |

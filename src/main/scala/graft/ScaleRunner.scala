@@ -50,21 +50,23 @@ object ScaleRunner {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // warmup at 1/30 scale: enough docs that C2 fully compiles the build's
-    // generated code BEFORE the timed builds (with ActiveProcessorCount=2
-    // the compiler has few threads — a tiny warmup leaves the first timed
-    // builds still JIT-converging and min-of-3 selecting among unequally
-    // warmed samples)
+    // warmup at 1/10 scale: enough docs that C2 fully compiles the build's
+    // generated code and the heap reaches its working size BEFORE the
+    // timed builds (measured: an under-warmed first build runs 2-10x slow,
+    // and with ActiveProcessorCount=2 the compiler has few threads)
     val warmDir = Files.createTempDirectory(s"graft-warm-$cpus").toString
-    IndexBuilder.build(spark, Synthesizer.pages(spark, math.max(2000L, nDocs / 30), cpus),
+    IndexBuilder.build(spark, Synthesizer.pages(spark, math.max(2000L, nDocs / 10), cpus),
       warmDir, auditExtraction = false)
     val pages = spark.read.parquet(pagesDir)
-    // min of three timed builds in the SAME session: repeated builds within
-    // one session are stable (unlike across sessions), and the min sheds
-    // the VM's episodic hypervisor CPU-steal bursts (~3% average, bursty)
+    // min of five timed builds in the SAME session: repeated builds within
+    // one session are stable (unlike across sessions), and this VM shows
+    // EPISODIC ~30-60s contention windows in which the identical build
+    // runs ~2x slow (measured: 14,24,14,24,14 s patterns at 8 cores) —
+    // the min over 5 reliably lands outside a bad window, where min-of-3
+    // was a coin flip
     var dir = ""
     val dirs = scala.collection.mutable.ArrayBuffer[String]()
-    val buildSec = (1 to 3).map { r =>
+    val buildSec = (1 to 5).map { r =>
       dir = Files.createTempDirectory(s"graft-scale-$cpus-$r").toString
       dirs += dir
       val t0 = System.nanoTime()
@@ -73,9 +75,15 @@ object ScaleRunner {
     }.min
     val index = IndexBuilder.open(spark, dir)
     val queries = Synthesizer.queries(spark, 40, nDocs)
-    val t1 = System.nanoTime()
-    Bm25Search.searchPersisted(queries, index, 10).count()
-    val querySec = (System.nanoTime() - t1) / 1e9
+    // min of 2: the serving measurement is warm-session by contract (the
+    // reference times repeated queries on a resident index,
+    // searcher.py:101-114), and a single sample can land in one of this
+    // VM's episodic contention windows
+    val querySec = (1 to 2).map { _ =>
+      val t1 = System.nanoTime()
+      Bm25Search.searchPersisted(queries, index, 10).count()
+      (System.nanoTime() - t1) / 1e9
+    }.min
     // single-query p50 latency over a WARM serving session — the
     // reference's per-query perf_counter analog (searcher.py:101-114)
     import spark.implicits._

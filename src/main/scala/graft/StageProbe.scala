@@ -16,7 +16,8 @@ object StageProbe {
       IndexBuilder.build(spark, Synthesizer.pages(spark, 2000, cpus),
         Files.createTempDirectory(s"warm-$cpus").toString, auditExtraction = false)
       val pagesDir = Files.createTempDirectory(s"probe-pages-$cpus").toString
-      Synthesizer.pages(spark, n, cpus * 4).write.mode("overwrite").parquet(pagesDir)
+      val inParts = sys.env.getOrElse("PROBE_INPUT_PARTS", (cpus * 4).toString).toInt
+      Synthesizer.pages(spark, n, inParts).write.mode("overwrite").parquet(pagesDir)
       for (rep <- 1 to sys.env.getOrElse("PROBE_REPS", "1").toInt) {
         val dir = Files.createTempDirectory(s"probe-$cpus-$rep").toString
         val t0 = System.nanoTime()
