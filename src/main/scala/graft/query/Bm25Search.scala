@@ -242,18 +242,20 @@ object Bm25Search {
     *   postings; the kth best such single-term score is a LOWER bound θ on
     *   the true kth best full score (any subset + partial scoring can only
     *   under-estimate).
-    * stage B (candidates): classic WAND term ordering — per qid, terms
-    *   are sorted by their maximum possible contribution
+    * stage B (candidate BLOCKS): classic WAND term ordering — per qid,
+    *   terms are sorted by their maximum possible contribution
     *   mc_t = qtf·idf_t·(k1+1) (tf-saturation is bounded by k1+1), and the
     *   maximal ascending prefix with Σ mc < θ is the WEAK set: a doc whose
     *   postings lie only in weak terms cannot reach θ, so weak terms'
-    *   postings are NEVER TRAVERSED for candidate generation. Candidates
-    *   come from strong terms only, with upper bound
-    *   ub(doc) = Σ_strong qtf·idf·block_max + Σ_weak mc; keep ub ≥ θ.
-    *   Every true top-k doc survives (its true score ≤ ub).
-    * stage C (exact): decode only the blocks whose docId RANGE contains a
-    *   candidate (semi-join on block_no — candidates are few, so whole
-    *   stopword posting ranges are skipped), score exactly, top-k.
+    *   postings are NEVER TRAVERSED. Upper bounds are then computed at
+    *   BLOCK granularity from block metadata alone (no decode):
+    *   ub(qid, block) = Σ_strong qtf·idf·block_max(term, block) + Σ_weak
+    *   mc bounds every doc of the block, because each doc lives in
+    *   exactly one block. Keep blocks with ub ≥ θ.
+    * stage C (exact): decode only surviving blocks (semi-join on
+    *   block_no — whole stopword posting ranges are skipped), score
+    *   exactly, drop (qid, block) pairs that did not survive for that
+    *   qid, top-k. Every true top-k doc survives: score ≤ its block's ub.
     *
     * At scale: stopword-grade terms are usually weak (huge df → small
     * idf·(k1+1) vs θ from a rare term), so their 10^11-entry posting
@@ -297,30 +299,35 @@ object Bm25Search {
     val strong = qtermsSplit.filter(!col("weak"))
       .select(col("qid"), col("term_id"), col("qtf"), col("idf"))
 
-    val ubHits = probed
-      .select(col("term_id"),
-        (col("block_max_tfnorm") * lit(index.wandBoundScale)).as("block_max_tfnorm"),
-        explode(delta_varint_decode(col("doc_ids_enc"))).as("doc_id"))
+    // Bounds at BLOCK granularity: every doc lives in exactly one block
+    // (block_no = doc_id/blockSpan), so Σ over strong terms of that
+    // block's max contribution upper-bounds every doc in it — computed
+    // from block METADATA alone, no posting is decoded in stage B
+    // (blockSpan× fewer rows than the per-doc bound it replaces).
+    val candBlocks = probed
+      .select(col("term_id"), col("block_no"),
+        (col("block_max_tfnorm") * lit(index.wandBoundScale)).as("bmax"))
       .join(broadcast(strong), "term_id")
-      .groupBy(col("qid"), col("doc_id"))
-      .agg(sum(col("qtf") * col("idf") * col("block_max_tfnorm")).as("ub"))
-    val candidates = ubHits
+      .groupBy(col("qid"), col("block_no"))
+      .agg(sum(col("qtf") * col("idf") * col("bmax")).as("ub"))
       .join(broadcast(weakSum), Seq("qid"), "left")
       .join(broadcast(theta), Seq("qid"), "left")
       .filter(col("theta").isNull ||
         (col("ub") + coalesce(col("weak_sum"), lit(0.0))) >= col("theta"))
-      .select(col("qid"), col("doc_id"))
+      .select(col("qid"), col("block_no"))
 
-    // Stage C: decode ONLY the blocks covering candidate docId ranges,
-    // score exactly (all query terms present in those ranges), top-k.
-    val candBlockNos = candidates
-      .select((col("doc_id") / p.blockSpan).cast("long").as("block_no"))
-      .distinct()
+    // Stage C: decode ONLY surviving blocks, score exactly, and drop
+    // (qid, block) pairs that did not survive for THAT qid; top-k. A true
+    // top-k doc always survives: score(d) ≤ ub(qid, block(d)) and
+    // score(d) ≥ θ.
+    val candBlockNos = candBlocks.select(col("block_no")).distinct()
     val decoded = index.decode(
       probed.join(candBlockNos, Seq("block_no"), "left_semi"))
     val exact = scores(
       hits(qterms, decoded, index.corpusStats, p)
-        .join(candidates, Seq("qid", "doc_id"), "left_semi"))
+        .withColumn("block_no", (col("doc_id") / p.blockSpan).cast("long"))
+        .join(candBlocks, Seq("qid", "block_no"), "left_semi")
+        .drop("block_no"))
     topK(exact, k)
   }
 }
