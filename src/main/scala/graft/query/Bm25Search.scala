@@ -19,6 +19,12 @@ import graft.index.{Bm25Index, Bm25Params}
   */
 object Bm25Search {
 
+  /** WAND stage A samples θ from at most this many posting blocks of the
+    * rarest query term (≈ ThetaBlocks·blockSpan candidate docs) — bounds
+    * the θ-seeding cost for stopword-grade rarest terms while leaving
+    * genuinely rare terms (fewer blocks than the cap) fully scored. */
+  val ThetaBlocks = 64
+
   /** (qid, text) → (qid, term, qtf, idf): tokenize ≤32 terms (reference
     * query_maxlen, settings.py:139), count query-term multiplicity, attach
     * idf. Unknown terms drop out via the inner join (they cannot score). */
@@ -238,10 +244,12 @@ object Bm25Search {
   /** Two-stage block-max-WAND-style pruned search — exact results,
     * reference analog of the staged pruning in index_storage.py:111-194:
     *
-    * stage A (θ bound): exactly score only each query's highest-idf term's
-    *   postings; the kth best such single-term score is a LOWER bound θ on
-    *   the true kth best full score (any subset + partial scoring can only
-    *   under-estimate).
+    * stage A (θ bound): exactly score only each query's highest-idf
+    *   term's postings, sampled from at most [[ThetaBlocks]] of its
+    *   blocks; the kth best such single-term score is a LOWER bound θ on
+    *   the true kth best full score (any doc-subset + term-subset scoring
+    *   can only under-estimate; fewer than k sampled docs → no θ → no
+    *   pruning, still exact).
     * stage B (candidate BLOCKS): classic WAND term ordering — per qid,
     *   terms are sorted by their maximum possible contribution
     *   mc_t = qtf·idf_t·(k1+1) (tf-saturation is bounded by k1+1), and the
@@ -269,19 +277,29 @@ object Bm25Search {
     val qtermsOnly = broadcast(qterms.select(col("term_id")).distinct())
     val probed = index.blocks.join(qtermsOnly, "term_id")
 
-    // Stage A: θ per qid from the rarest (max-idf, term-asc tiebreak) term.
+    // Stage A: θ per qid from the rarest (max-idf, term-asc tiebreak)
+    // term, scored over at most the term's first ThetaBlocks posting
+    // blocks. Subset-of-terms × subset-of-docs scoring can only
+    // UNDER-estimate, so the kth best sampled score stays a valid lower
+    // bound (fewer than k sampled docs → no θ → no pruning, still exact).
+    // The cap means an all-stopword query no longer decodes a full
+    // stopword posting list just to seed θ; the block-prefix window runs
+    // on metadata rows only. θ selection uses the bounded-heap
+    // aggregator — no per-qid global sort of the sampled scores.
     val wRare = Window.partitionBy(col("qid")).orderBy(col("idf").desc, col("term").asc)
     val rarest = qterms
       .withColumn("rn", row_number().over(wRare))
       .filter(col("rn") === 1)
       .drop("rn")
-    val rareDecoded = index.decode(
-      index.blocks.join(broadcast(rarest.select(col("term_id")).distinct()), "term_id"))
-    val rareScores = scores(hits(rarest, rareDecoded, index.corpusStats, p))
-    val wTheta = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id").asc)
-    val theta = rareScores
-      .withColumn("rn", row_number().over(wTheta))
-      .filter(col("rn") === k)
+    val wBlk = Window.partitionBy(col("term_id")).orderBy(col("block_no").asc)
+    val rareCapped = index.blocks
+      .join(broadcast(rarest.select(col("term_id")).distinct()), "term_id")
+      .withColumn("brn", row_number().over(wBlk))
+      .filter(col("brn") <= ThetaBlocks)
+      .drop("brn")
+    val rareScores = scores(hits(rarest, index.decode(rareCapped), index.corpusStats, p))
+    val theta = TopKAggregator.topK(rareScores, k)
+      .filter(col("rank") === k)
       .select(col("qid"), col("score").as("theta"))
 
     // Stage B: weak/strong term split per qid (ascending max-contribution
