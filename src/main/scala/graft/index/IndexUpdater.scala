@@ -109,6 +109,19 @@ object IndexUpdater {
     if (TableManifest.exists(tombDir(indexDir))) Some(spark.read.parquet(tombDir(indexDir)))
     else None
 
+  /** The live (base ∪ segments − tombstones) docs table — the serving
+    * layer's pid → passage text source (reference searcher.collection[pid],
+    * server.py:26-31). */
+  def liveDocs(spark: SparkSession, indexDir: String): DataFrame = {
+    val allDirs = indexDir +: segmentDirs(indexDir)
+    val docs = allDirs.map(d => spark.read.parquet(IndexBuilder.stageDir(d, "docs")))
+      .reduce(_ unionByName _)
+    tombstones(spark, indexDir) match {
+      case Some(t) => docs.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      case None => docs
+    }
+  }
+
   /** Open base + all segments − tombstones as one queryable index, with
     * stats recomputed over the live merged corpus (exactness) and WAND
     * bounds rescaled (admissibility). */
@@ -121,13 +134,8 @@ object IndexUpdater {
     val blocks = allDirs.map(d => spark.read.parquet(IndexBuilder.stageDir(d, "blocks")))
       .reduce(_ unionByName _)
     val tombs = tombstones(spark, indexDir)
-    val docs = allDirs.map(d => spark.read.parquet(IndexBuilder.stageDir(d, "docs")))
-      .reduce(_ unionByName _)
-    val liveDocs = tombs match {
-      case Some(t) => docs.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti")
-      case None => docs
-    }
-    val corpus = Bm25Index.corpusStats(liveDocs.select(col("doc_id"), col("dl")))
+    val corpus = Bm25Index.corpusStats(
+      liveDocs(spark, indexDir).select(col("doc_id"), col("dl")))
 
     // exact df over live docs: union the persisted sorted postings and
     // re-aggregate (segments are doc-disjoint, tombstones subtract)

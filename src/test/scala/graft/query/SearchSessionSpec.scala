@@ -38,6 +38,26 @@ class SearchSessionSpec extends AnyFunSuite {
 
       val one = session.searchOne("w1 w2", 5)
       assert(one.count() == 5)
+
+      // serve(): the server.py response contract — passage text attached,
+      // probs = softmax over the returned scores, (−score, docId) order,
+      // LRU-cached per (query, k)
+      val docsText = IndexUpdater.liveDocs(spark, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+      val served = session.serve("w1 w2", 5)
+      assert(served.size == 5)
+      assert(served == served.sortBy(h => (-h.score, h.docId)))
+      assert(math.abs(served.map(_.prob).sum - 1.0) < 1e-9)
+      val expProbs = {
+        val ws = served.map(h => math.exp(h.score)); ws.map(_ / ws.sum)
+      }
+      served.zip(expProbs).foreach { case (h, p) => assert(math.abs(h.prob - p) < 1e-12) }
+      served.foreach(h => assert(h.text == docsText(h.docId)))
+      val n0 = session.cacheSize
+      val again = session.serve("w1 w2", 5)
+      assert(again == served && session.cacheSize == n0)
+      session.serve("w2 w4", 5)
+      assert(session.cacheSize == n0 + 1)
     } finally session.close()
   }
 }
