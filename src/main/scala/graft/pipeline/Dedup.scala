@@ -117,27 +117,11 @@ object Dedup {
     * oracle reproduces the hexdigit construction exactly). Relational
     * formulation: (doc, term, tf) × positions, weighted sum per
     * (doc, position). */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"), explode(Tokenizer.tokenizeDoc(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-      // 64 hex digits = two md5s ('s|' salts the second)
-      .withColumn("h", concat(md5(col("term")), md5(concat(lit("s|"), col("term")))))
-    tf
-      .select(col("doc_id"), col("tf"), col("h"),
-        explode(sequence(lit(1), lit(64))).as("j"))
-      .groupBy(col("doc_id"), col("j"))
-      // hex digit value = instr('0123..f', ch) − 1; weight centers at 7.5
-      .agg(sum(col("tf") *
-        (expr("instr('0123456789abcdef', substring(h, j, 1))") - lit(8.5))).as("w"))
-      .groupBy(col("doc_id"))
-      .agg(concat_ws("",
-        transform(
-          array_sort(collect_list(struct(col("j"),
-            when(col("w") > 0, "1").otherwise("0").as("bit")))),
-          e => e.getField("bit"))).as("simhash"))
-  }
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        SimhashSignature.simhash_bits(Tokenizer.tokenizeDoc(col("text"))).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDist (default 3):
     * candidates share ≥1 of 4 16-bit chunks (pigeonhole-complete for
