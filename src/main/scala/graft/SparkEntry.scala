@@ -63,6 +63,32 @@ object SparkEntry {
       })
     }
 
+  /** Session-scoped trained IVF model per (session, dir) — ann_ivf and
+    * neardup_embedding share ONE training pass (the reference trains
+    * k-means once at index time and every searcher loads the persisted
+    * centroids, collection_indexer.py:500-517 / residual.py:150-165; a
+    * previous round retrained the full model inside EACH query). */
+  private val ivfCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, (DataFrame, DataFrame)]]()
+  private def ivfFor(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    ivfCache.synchronized {
+      val perSession = {
+        val m = ivfCache.get(s)
+        if (m != null) m
+        else {
+          val m2 = scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
+          ivfCache.put(s, m2); m2
+        }
+      }
+      perSession.getOrElseUpdate(dir, {
+        val (c, a) = Similarity.trainedIvf(embeddings(s, dir))
+        (c.persist(), a.persist())
+      })
+    }
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
   // -- persisted index fixtures -----------------------------------------
   // The oracle-gated PERSISTED path (VERDICT r1 item 1): the 5-stage
   // IndexBuilder build + parquet In-filter search, and the updater's
@@ -264,17 +290,15 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
 
     "neardup_embedding" -> ((s, dir) =>
-      Similarity.embeddingNearDups(
-        s.read.parquet(s"$dir/embeddings.parquet"), 0.4)),
+      Similarity.embeddingNearDups(embeddings(s, dir), 0.4, 1000, ivfFor(s, dir))),
 
     // ---- similarity search over embeddings ----
     "ann_brute" -> ((s, dir) =>
-      Similarity.bruteForceTopK(
-        s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+      Similarity.bruteForceTopK(embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 10)),
 
     "ann_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(
-        s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+      Similarity.ivfTopK(embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 10, 4,
+        ivfFor(s, dir))),
 
     // ---- text analysis ----
     "text_token_counts" -> ((s, dir) => TextStats.tokenCounts(docs(s, dir))),
@@ -782,9 +806,11 @@ object SparkEntry {
   )
 
   /** Shared IVF CTE — the data-driven quantizer (k = ⌈√N⌉ sampled seeds +
-    * one Lloyd refinement), mirroring Similarity.trainedIvf: seeds are
-    * every ⌊N/k⌋-th vec_id; assignment ties → lower centroid id; all
-    * ordering on round(sim, 6) for cross-engine stability. */
+    * one Lloyd refinement over a ~16k-member training sample), mirroring
+    * Similarity.trainedIvf: seeds are every ⌊N/k⌋-th vec_id, the Lloyd
+    * mean runs over every ⌊N/(16k)⌋-th vec_id; assignment ties → lower
+    * centroid id; all ordering on round(sim, 6) for cross-engine
+    * stability. */
   private val IvfAssignCte: String =
     """WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
@@ -793,12 +819,15 @@ object SparkEntry {
       |), seeds AS (
       |  SELECT vec_id AS c_id, emb AS centroid FROM e, params
       |  WHERE vec_id % greatest(1, n // k) = 0
+      |), samp AS (
+      |  SELECT vec_id, emb FROM e, params
+      |  WHERE vec_id % greatest(1, n // (16 * k)) = 0
       |), a1 AS (
       |  SELECT vec_id, emb, c_id AS bucket FROM (
       |    SELECT e.vec_id, e.emb, s.c_id,
       |           row_number() OVER (PARTITION BY e.vec_id
       |             ORDER BY round(list_cosine_similarity(e.emb, s.centroid), 6) DESC, s.c_id ASC) AS rn
-      |    FROM e, seeds s) WHERE rn = 1
+      |    FROM samp e, seeds s) WHERE rn = 1
       |), cent AS (
       |  SELECT bucket AS c_id, list(m ORDER BY d) AS centroid FROM (
       |    SELECT bucket, d, avg(emb[d]) AS m FROM a1, range(1, 65) t(d) GROUP BY 1, 2

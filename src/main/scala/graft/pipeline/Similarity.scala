@@ -34,14 +34,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in element order, as double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ in element order, as double ([[DotProductExpr]] — codegen'd,
+    * bit-identical to the aggregate/zip_with HOF it replaces). */
+  def dot(a: Column, b: Column): Column = VectorOps.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** cosine with PRE-COMPUTED norms: dot(a,b)/(na·nb). Bit-identical to
+    * [[cosine]] when na/nb were produced by [[norm]] — the point is to
+    * evaluate each row's norm once per ROW instead of once per PAIR
+    * (the N·k assignment and the per-bucket pair joins were recomputing
+    * ~2/3 of their flops in redundant norms). */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
 
   /** Brute-force exact cosine top-k neighbors for the query vectors
     * `queryIds` (self excluded): (qid, vec_id, rank, sim). The tiny query
@@ -50,11 +57,12 @@ object Similarity {
   def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val queries = broadcast(
       emb.filter(col("vec_id").isin(queryIds: _*))
-        .select(col("vec_id").as("qid"), col("embedding").as("q_emb")))
-    val scored = emb.crossJoin(queries)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+          norm(col("embedding")).as("q_n")))
+    val scored = emb.withColumn("e_n", norm(col("embedding"))).crossJoin(queries)
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        cosine(col("q_emb"), col("embedding")).as("sim"))
+        cosinePre(col("q_emb"), col("embedding"), col("q_n"), col("e_n")).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("sim"), 6).desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -78,9 +86,10 @@ object Similarity {
     * grouped min over struct(−round(sim,6), c_id) — partial-aggregable,
     * no per-vector window sort. Ties → lower c_id. */
   def assign(emb: DataFrame, centroids: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(centroids))
+    emb.withColumn("e_n", norm(col("embedding")))
+      .crossJoin(broadcast(centroids.withColumn("c_n", norm(col("centroid")))))
       .select(col("vec_id"), col("embedding"), col("c_id"),
-        cosine(col("embedding"), col("centroid")).as("c_sim"))
+        cosinePre(col("embedding"), col("centroid"), col("e_n"), col("c_n")).as("c_sim"))
       .groupBy(col("vec_id"))
       .agg(
         min(struct((-round(col("c_sim"), 6)).as("ns"), col("c_id").as("c"))).as("m"),
@@ -99,22 +108,70 @@ object Similarity {
         e => e.getField("m")).as("centroid"))
       .select(col("bucket").as("c_id"), col("centroid"))
 
-  /** Data-driven IVF: ⌈√N⌉ sampled seeds + one Lloyd refinement.
-    * Returns (centroids, assignment); both reused by search and blocking. */
+  /** Training-sample stride: every `max(1, n/(16k))`-th vec_id, i.e. a
+    * ~16·k-member deterministic sample (16 points per centroid — the
+    * k-means sampling shape of the reference, which trains faiss on a
+    * 16·√(120·N) passage sample, collection_indexer.py:114-131, instead
+    * of the full corpus). */
+  def sampleStepFor(n: Long, k: Int): Long = math.max(1L, n / (16L * k))
+
+  /** Data-driven IVF: ⌈√N⌉ sampled seeds + one Lloyd refinement where the
+    * cluster means are computed over the ~16k-member training SAMPLE, not
+    * the corpus — so training costs O(16k·k·d) plus the ONE unavoidable
+    * full-corpus assignment that IS the IVF index (the reference likewise
+    * trains on a sample and then assigns every passage once,
+    * collection_indexer.py:500-517). A previous version ran the Lloyd
+    * mean over the full corpus, doubling the corpus passes per build.
+    * Returns (centroids, assignment); both reused by search and blocking
+    * — share ONE trained model across operators (see [[saveIvf]] and the
+    * session cache in SparkEntry) instead of retraining per query. */
   def trainedIvf(emb: DataFrame): (DataFrame, DataFrame) = {
     val n = emb.count()
     val k = kForCorpus(n)
     val step = math.max(1L, n / k)
-    val refined = meanCentroids(assign(emb, seedCentroids(emb, step)))
+    val sample = emb.filter(col("vec_id") % sampleStepFor(n, k) === 0)
+    val refined = meanCentroids(assign(sample, seedCentroids(emb, step)))
     (refined, assign(emb, refined))
+  }
+
+  /** Persist a trained model as index tables (the analog of the
+    * reference's centroids.pt + ivf.pid.pt written once at index time,
+    * colbert/indexing/codecs/residual.py:150-165): `<dir>/centroids`,
+    * `<dir>/assignment` parquet with committed manifests. */
+  def saveIvf(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
+              dir: String): Unit = {
+    import graft.catalog.TableManifest
+    val (centroids, assigned) = trainedIvf(emb)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    val cl = TableManifest.lineageOf(spark, s"$dir/centroids")
+    TableManifest.commit(s"$dir/centroids",
+      TableManifest("ivf_centroids", 0L, cl.map(_.rows).sum, cl, Map.empty))
+    assigned.write.mode("overwrite").parquet(s"$dir/assignment")
+    val al = TableManifest.lineageOf(spark, s"$dir/assignment")
+    TableManifest.commit(s"$dir/assignment",
+      TableManifest("ivf_assignment", cl.map(_.rows).sum, al.map(_.rows).sum, al, Map.empty))
+  }
+
+  /** Open a persisted model: (centroids, assignment). */
+  def openIvf(spark: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import graft.catalog.TableManifest
+    require(TableManifest.exists(s"$dir/centroids") && TableManifest.exists(s"$dir/assignment"),
+      s"no committed IVF model at $dir")
+    (spark.read.parquet(s"$dir/centroids"), spark.read.parquet(s"$dir/assignment"))
   }
 
   /** IVF-probed ANN top-k: queries probe their `nprobe` nearest centroids
     * and score only vectors in those buckets. Approximate by design —
     * recall vs [[bruteForceTopK]] is measured in tests; semantics (probe
     * order, tiebreaks) are fixed so the oracle matches exactly. */
-  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, nprobe: Int = 4): DataFrame = {
-    val (centroids, assigned) = trainedIvf(emb)
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, nprobe: Int = 4): DataFrame =
+    ivfTopK(emb, queryIds, k, nprobe, trainedIvf(emb))
+
+  /** [[ivfTopK]] over an already-trained (and typically persisted/cached)
+    * model — the production shape: train once, search many. */
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, nprobe: Int,
+              model: (DataFrame, DataFrame)): DataFrame = {
+    val (centroids, assigned) = model
     val queries = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
     val probes = queries.crossJoin(broadcast(centroids))
@@ -125,10 +182,11 @@ object Similarity {
     val probed = probes.withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("q_emb"), col("c_id").as("bucket"))
-    val scored = assigned.join(broadcast(probed), "bucket")
+    val scored = assigned.withColumn("e_n", norm(col("embedding")))
+      .join(broadcast(probed.withColumn("q_n", norm(col("q_emb")))), "bucket")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        cosine(col("q_emb"), col("embedding")).as("sim"))
+        cosinePre(col("q_emb"), col("embedding"), col("q_n"), col("e_n")).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("sim"), 6).desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -143,17 +201,24 @@ object Similarity {
     * `maxBucket` drops degenerate clusters, so the Σ m² same-bucket work
     * stays ~N^1.5 with bounded skew — never the full O(N²) cross join. */
   def embeddingNearDups(emb: DataFrame, threshold: Double,
-                        maxBucket: Int = 1000): DataFrame = {
-    val (_, assigned) = trainedIvf(emb)
+                        maxBucket: Int = 1000): DataFrame =
+    embeddingNearDups(emb, threshold, maxBucket, trainedIvf(emb))
+
+  /** [[embeddingNearDups]] over a shared trained model (same model the
+    * ANN search probes — one training pass serves both operators). */
+  def embeddingNearDups(emb: DataFrame, threshold: Double, maxBucket: Int,
+                        model: (DataFrame, DataFrame)): DataFrame = {
+    val (_, assigned) = model
     val keptBuckets = assigned.groupBy(col("bucket"))
       .agg(count(lit(1)).as("m"))
       .filter(col("m").between(2, maxBucket))
       .select(col("bucket"))
     val inCapped = assigned.join(broadcast(keptBuckets), Seq("bucket"), "left_semi")
+      .withColumn("n", norm(col("embedding")))
     inCapped.alias("a").join(inCapped.alias("b"), "bucket")
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+        cosinePre(col("a.embedding"), col("b.embedding"), col("a.n"), col("b.n")).as("sim"))
       .filter(round(col("sim"), 6) >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
   }
