@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.catalog.TableManifest
-import graft.query.Bm25IndexTables
+import graft.query.{Bm25IndexTables, Tombstones}
 
 /** Incremental index mutation — the Spark re-expression of the reference's
   * IndexUpdater.add/remove/persist_to_disk (colbert/index_updater.py:28-250):
@@ -105,9 +105,15 @@ object IndexUpdater {
     Files.deleteIfExists(p)
   }
 
-  def tombstones(spark: SparkSession, indexDir: String): Option[DataFrame] =
-    if (TableManifest.exists(tombDir(indexDir))) Some(spark.read.parquet(tombDir(indexDir)))
+  /** The committed tombstone set with its manifest row count — the count
+    * (parquet-footer metadata, no scan) drives [[Tombstones.subtractFrom]]'s
+    * broadcast-vs-shuffle choice. */
+  def tombstones(spark: SparkSession, indexDir: String): Option[Tombstones] = {
+    val dir = tombDir(indexDir)
+    if (TableManifest.exists(dir))
+      Some(Tombstones(spark.read.parquet(dir), TableManifest.read(dir).rows))
     else None
+  }
 
   /** The live (base ∪ segments − tombstones) docs table — the serving
     * layer's pid → passage text source (reference searcher.collection[pid],
@@ -117,7 +123,7 @@ object IndexUpdater {
     val docs = allDirs.map(d => spark.read.parquet(IndexBuilder.stageDir(d, "docs")))
       .reduce(_ unionByName _)
     tombstones(spark, indexDir) match {
-      case Some(t) => docs.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      case Some(t) => t.subtractFrom(docs)
       case None => docs
     }
   }
@@ -142,7 +148,7 @@ object IndexUpdater {
     val postings = allDirs.map(d => spark.read.parquet(IndexBuilder.stageDir(d, "postings")))
       .reduce(_ unionByName _)
     val livePostings = tombs match {
-      case Some(t) => postings.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      case Some(t) => t.subtractFrom(postings)
       case None => postings
     }
     val termStats = Bm25Index.termStats(livePostings, corpus)
@@ -166,7 +172,7 @@ object IndexUpdater {
     val docs = allDirs.map(d => spark.read.parquet(IndexBuilder.stageDir(d, "docs")))
       .reduce(_ unionByName _)
     val live = tombstones(spark, indexDir) match {
-      case Some(t) => docs.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      case Some(t) => t.subtractFrom(docs)
       case None => docs
     }
     // rebuild from the already-extracted corpus snapshot: synthesize a

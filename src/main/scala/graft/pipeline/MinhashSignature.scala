@@ -88,7 +88,7 @@ object MinhashSignatureExpr {
   def minhashBandsEval(arr: ArrayData): ArrayData = {
     val mins = minsOf(arr)
     if (mins == null) return null
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Scratch.get()
     val out = new Array[Any](Bands)
     var b = 0
     while (b < Bands) {
@@ -133,7 +133,7 @@ object MinhashSignatureExpr {
   private def minsOf(arr: ArrayData): Array[String] = {
     val n = arr.numElements()
     if (n == 0) return null
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Scratch.get()
     val mins = new Array[String](Fns)
     val sub = new Array[Char](8)
     var i = 0

@@ -62,7 +62,7 @@ object SimhashBitsExpr {
       tf.put(t, tf.getOrDefault(t, 0) + 1)
       i += 1
     }
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Scratch.get()
     // integer half-units: digit value d contributes (d + 1 − 8.5) = (2d − 15)/2
     val w = new Array[Long](64)
     val it = tf.entrySet().iterator()

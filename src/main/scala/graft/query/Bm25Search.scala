@@ -407,6 +407,33 @@ object Bm25Search {
   }
 }
 
+/** Deleted-doc set plus its cardinality (from the tombstone manifest's
+  * file-footer row counts — metadata, never a scan). The cardinality picks
+  * the anti-join strategy: a typical deletion batch broadcasts; a
+  * whole-crawl retraction (the reference's IndexUpdater.remove has no size
+  * bound, index_updater.py:80-96, and at web scale the set can reach 10^9
+  * ids) falls back to a shuffled left-anti join instead of OOMing every
+  * executor with an unbounded broadcast. */
+final case class Tombstones(df: DataFrame, rows: Long) {
+  /** `from` minus tombstoned doc_ids. The manifest cardinality overrides
+    * Catalyst's size estimate in both directions: small sets broadcast
+    * even when stats are missing; huge sets get the shuffled-hash hint so
+    * the planner cannot pick an unbounded broadcast. */
+  def subtractFrom(from: DataFrame): DataFrame = {
+    val ids = df.select(col("doc_id"))
+    val side =
+      if (rows <= Tombstones.BroadcastMaxRows) broadcast(ids)
+      else ids.hint("shuffle_hash")
+    from.join(side, Seq("doc_id"), "left_anti")
+  }
+}
+
+object Tombstones {
+  /** ~10^7 ids ≈ 80 MB of longs — the practical per-executor broadcast
+    * ceiling before memory pressure beats the shuffle saved. */
+  val BroadcastMaxRows: Long = 10L * 1000 * 1000
+}
+
 /** The three index tables a search session needs (reference analog:
   * IndexLoader's ivf + doclens + codec, colbert/search/index_loader.py).
   *
@@ -425,7 +452,7 @@ case class Bm25IndexTables(
     blocks: DataFrame,
     termStats: DataFrame,
     corpusStats: DataFrame,
-    tombstones: Option[DataFrame] = None,
+    tombstones: Option[Tombstones] = None,
     wandBoundScale: Double = 1.0) {
 
   /** Decode posting blocks to (term, doc_id, tf, dl), dropping tombstoned
@@ -433,7 +460,7 @@ case class Bm25IndexTables(
   def decode(blocksSubset: DataFrame): DataFrame = {
     val decoded = graft.index.Bm25Index.decodeBlocks(blocksSubset)
     tombstones match {
-      case Some(t) => decoded.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      case Some(t) => t.subtractFrom(decoded)
       case None => decoded
     }
   }

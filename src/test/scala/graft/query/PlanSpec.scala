@@ -75,6 +75,26 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
   }
 
+  test("tombstone anti-join: small set broadcasts, huge set does NOT") {
+    import spark.implicits._
+    val index = Bm25IndexTables.fromDocs(docs)
+    val tombDf = Seq(1L, 2L, 3L).toDF("doc_id")
+    val antiBroadcast = "BroadcastHashJoin .*LeftAnti".r
+    val antiShuffled = "ShuffledHashJoin .*LeftAnti".r
+    val small = index.copy(tombstones = Some(Tombstones(tombDf, 3L)))
+    val smallPlan = planOf(small.decode(small.blocks))
+    assert(antiBroadcast.findFirstIn(smallPlan).isDefined,
+      s"small tombstone set should broadcast its anti-join:\n$smallPlan")
+    // same data, manifest CLAIMS web-scale cardinality: the planner must
+    // not be handed an unbounded broadcast (SCALE.md's knob, now code)
+    val huge = index.copy(tombstones =
+      Some(Tombstones(tombDf, Tombstones.BroadcastMaxRows + 1)))
+    val hugePlan = planOf(huge.decode(huge.blocks))
+    assert(antiBroadcast.findFirstIn(hugePlan).isEmpty &&
+      antiShuffled.findFirstIn(hugePlan).isDefined,
+      s"huge tombstone set must anti-join via shuffle, not broadcast:\n$hugePlan")
+  }
+
   test("WAND stage B reads only ids + bounds (column pruning on the blocks scan)") {
     val dir = Files.createTempDirectory("graft-plan2").toString
     IndexBuilder.build(spark, Synthesizer.pages(spark, 200, 3), dir, auditExtraction = false)
