@@ -101,6 +101,47 @@ object Bench {
     Pair(nLow, nHigh, docs, tl, th, ql, qh, pl, ph)
   }
 
+  case class WandRegime(tFull: Double, tWand: Double,
+                        blocksFull: Long, blocksWand: Long,
+                        postingsFull: Long, postingsWand: Long)
+
+  /** The staged-pruning (block-max WAND) arm in its winning regime —
+    * queries mixing one mid-frequency strong term with corpus-saturating
+    * stopwords (w0–w2 are in ~every synthesized doc: df≈N → idf≈0 → the
+    * bound proves them WEAK and their posting lists are never decoded).
+    * Reports wall time of both paths (min of 3 warm runs) plus the decoded
+    * block/posting volume of each — the reference's staged pruning exists
+    * precisely for this regime (index_storage.py:111-194). Reuses the
+    * pre-written corpus B; the index build is charged to neither path. */
+  private def wandRegime(spark: SparkSession, pagesDir: String, nDocs: Long): WandRegime = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, sum}
+    val dir = Files.createTempDirectory("graft-bench-wand").toString
+    try {
+      graft.index.IndexBuilder.build(spark, spark.read.parquet(pagesDir), dir,
+        auditExtraction = false)
+      val index = graft.index.IndexBuilder.open(spark, dir)
+      val mixed = (0 until 8).map(i => (i.toLong, s"w${300 + 13 * i} w0 w1 w2"))
+        .toDF("qid", "text").cache(); mixed.count()
+      def tmin(f: => Any): Double =
+        (1 to 3).map { _ => val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }.min
+      query.Bm25Search.searchPersisted(mixed, index, 10).count()  // warm both plans
+      query.Bm25Search.searchPersistedWand(mixed, index, 10).count()
+      val tFull = tmin(query.Bm25Search.searchPersisted(mixed, index, 10).count())
+      val tWand = tmin(query.Bm25Search.searchPersistedWand(mixed, index, 10).count())
+      val qterms = query.Bm25Search.compileQueriesLocal(mixed, index.termStats)
+      val ids = qterms.select(col("term_id")).distinct().as[Long].collect().toSeq
+      val probed = index.blocks.filter(col("term_id").isin(ids: _*))
+      val cand = query.Bm25Search.wandCandidateBlocks(
+        qterms, probed, index, 10, graft.index.Bm25Params())
+      val candNos = cand.select(col("block_no")).distinct()
+      val (bF, pF) = probed.agg(count(col("n")), sum(col("n"))).as[(Long, Long)].head()
+      val (bW, pW) = probed.join(candNos, Seq("block_no"), "left_semi")
+        .agg(count(col("n")), sum(col("n"))).as[(Long, Long)].head()
+      WandRegime(tFull, tWand, bF, bW, pF, pW)
+    } finally deleteRecursively(dir)
+  }
+
   private def deleteRecursively(path: String): Unit = {
     import java.nio.file.{Files => F, Paths}
     val p = Paths.get(path)
@@ -126,7 +167,7 @@ object Bench {
     val spark = session(cpus)
     val pagesDirA = Files.createTempDirectory("graft-bench-pages-a").toString
     val pagesDirB = Files.createTempDirectory("graft-bench-pages-b").toString
-    val (results, fixtures, pairsA, pairB) =
+    val (results, fixtures, pairsA, pairB, wand) =
       try {
         corpus.Synthesizer.pages(spark, docsA, 128).write.mode("overwrite").parquet(pagesDirA)
         corpus.Synthesizer.pages(spark, docsB, 128).write.mode("overwrite").parquet(pagesDirB)
@@ -149,6 +190,7 @@ object Bench {
               name -> -1.0
           }
         }
+        val wand = wandRegime(spark, pagesDirB, docsB)
         spark.stop() // children must not share cores with a live parent
 
         // scaling evidence — primary pair ×3 (reproducibility), full-
@@ -156,7 +198,7 @@ object Bench {
         // contention windows land on both arms
         val pairsA = (1 to pairARuns).map(_ => runPair(2, 8, docsA, pagesDirA))
         val pairB = runPair(8, 32, docsB, pagesDirB)
-        (results, fixtures, pairsA, pairB)
+        (results, fixtures, pairsA, pairB, wand)
       } finally {
         // a failed child must not leak the multi-GB temp corpora
         Seq(pagesDirA, pagesDirB).foreach(deleteRecursively)
@@ -189,8 +231,13 @@ object Bench {
       s"""{${pairJson("n_vs_4n", pairABest,
         f""","efficiency_runs":$runsJson,"efficiency_median":$effMedian%.3f""")},""" +
       s"""${pairJson("full_machine", pairB)}}"""
+    val wandJson =
+      f""""wand_regime":{"n_docs":$docsB,"full_sec":${wand.tFull}%.2f,""" +
+      f""""wand_sec":${wand.tWand}%.2f,"blocks_full":${wand.blocksFull},""" +
+      f""""blocks_wand":${wand.blocksWand},"postings_full":${wand.postingsFull},""" +
+      f""""postings_wand":${wand.postingsWand}}"""
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"fixtures":$fx,"sf":"$sfDir","scaling":$scaling}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"fixtures":$fx,"sf":"$sfDir","scaling":$scaling,$wandJson}""")
 
     // NOTE: this string is re-embedded in the outer stripMargin template,
     // which would strip a line-leading "|" again — emit a leading space
@@ -258,6 +305,27 @@ Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
          |multi-node cluster does not. The pinned-JVM protocol above is the
          |controlled experiment; this pair is the honesty check at full
          |machine width.
+         |
+         |## Staged pruning (block-max WAND) in its winning regime
+         |
+         |${pairB.docs}-doc persisted index, 8 queries of one mid-frequency
+         |term + three corpus-saturating stopwords (df≈N → idf≈0 → provably
+         |weak → never decoded). Wall = min of 3 warm runs at local[$cpus];
+         |decode volume counted from each path's physical decode input.
+         |
+         || path | wall sec | blocks decoded | postings decoded |
+         || --- | --- | --- | --- |
+         || full (searchPersisted) | ${wand.tFull}%.2f | ${wand.blocksFull} | ${wand.postingsFull} |
+         || wand (searchPersistedWand) | ${wand.tWand}%.2f | ${wand.blocksWand} | ${wand.postingsWand} |
+         |
+         |Decode reduction: **${wand.blocksFull.toDouble / math.max(1, wand.blocksWand)}%.1f× fewer blocks**,
+         |${wand.postingsFull.toDouble / math.max(1, wand.postingsWand)}%.1f× fewer postings; wall-time
+         |${if (wand.tWand < wand.tFull) f"win ${wand.tFull / wand.tWand}%.1f×" else f"LOSS ${wand.tWand / wand.tFull}%.1f× (pruning pays in decode volume, not wall, at this scale)"}.
+         |Regimes WAND cannot win (measured in r2 probes, unchanged): a
+         |planted rare-term query (df=1 < k) yields no θ bound, and an
+         |all-stopword query has no strong term — both degenerate to the
+         |full path plus bound overhead; `searchFull`/`searchPersisted`
+         |stays the documented default.
          |
          |## Per-query wall time (sf=$sfDir, local[$cpus], seconds)
          |

@@ -333,7 +333,31 @@ object Bm25Search {
                                  p: Bm25Params): DataFrame = {
     val qtermsOnly = broadcast(qterms.select(col("term_id")).distinct())
     val probed = index.blocks.join(qtermsOnly, "term_id")
+    val candBlocks = wandCandidateBlocks(qterms, probed, index, k, p)
 
+    // Stage C: decode ONLY surviving blocks, score exactly, and drop
+    // (qid, block) pairs that did not survive for THAT qid; top-k. A true
+    // top-k doc always survives: score(d) ≤ ub(qid, block(d)) and
+    // score(d) ≥ θ.
+    val candBlockNos = candBlocks.select(col("block_no")).distinct()
+    val decoded = index.decode(
+      probed.join(candBlockNos, Seq("block_no"), "left_semi"))
+    val exact = scores(
+      hits(qterms, decoded, index.corpusStats, p)
+        .withColumn("block_no", (col("doc_id") / p.blockSpan).cast("long"))
+        .join(candBlocks, Seq("qid", "block_no"), "left_semi")
+        .drop("block_no"))
+    topK(exact, k)
+  }
+
+  /** Stages A+B of [[searchWand]]: the surviving (qid, block_no) candidate
+    * set, computed from block METADATA only (no posting decoded except the
+    * θ seed's capped sample). Package-visible so benchmarks can report the
+    * decode-pruning ratio (candidate blocks vs all probed blocks) as a
+    * first-class number. */
+  private[graft] def wandCandidateBlocks(qterms: DataFrame, probed: DataFrame,
+                                         index: Bm25IndexTables, k: Int,
+                                         p: Bm25Params): DataFrame = {
     // Stage A: θ per qid from the rarest (max-idf, term-asc tiebreak)
     // term, scored over at most the term's first ThetaBlocks posting
     // blocks. Subset-of-terms × subset-of-docs scoring can only
@@ -379,7 +403,7 @@ object Bm25Search {
     // block's max contribution upper-bounds every doc in it — computed
     // from block METADATA alone, no posting is decoded in stage B
     // (blockSpan× fewer rows than the per-doc bound it replaces).
-    val candBlocks = probed
+    probed
       .select(col("term_id"), col("block_no"),
         (col("block_max_tfnorm") * lit(index.wandBoundScale)).as("bmax"))
       .join(broadcast(strong), "term_id")
@@ -390,20 +414,6 @@ object Bm25Search {
       .filter(col("theta").isNull ||
         (col("ub") + coalesce(col("weak_sum"), lit(0.0))) >= col("theta"))
       .select(col("qid"), col("block_no"))
-
-    // Stage C: decode ONLY surviving blocks, score exactly, and drop
-    // (qid, block) pairs that did not survive for THAT qid; top-k. A true
-    // top-k doc always survives: score(d) ≤ ub(qid, block(d)) and
-    // score(d) ≥ θ.
-    val candBlockNos = candBlocks.select(col("block_no")).distinct()
-    val decoded = index.decode(
-      probed.join(candBlockNos, Seq("block_no"), "left_semi"))
-    val exact = scores(
-      hits(qterms, decoded, index.corpusStats, p)
-        .withColumn("block_no", (col("doc_id") / p.blockSpan).cast("long"))
-        .join(candBlocks, Seq("qid", "block_no"), "left_semi")
-        .drop("block_no"))
-    topK(exact, k)
   }
 }
 
