@@ -101,28 +101,41 @@ object Bench {
     Pair(nLow, nHigh, docs, tl, th, ql, qh, pl, ph)
   }
 
-  case class WandRegime(tFull: Double, tWand: Double,
+  case class WandRegime(nDocs: Long, vocab: Int, rareTerm: String, rareDf: Long,
+                        tFull: Double, tWand: Double,
                         blocksFull: Long, blocksWand: Long,
                         postingsFull: Long, postingsWand: Long)
 
-  /** The staged-pruning (block-max WAND) arm in its winning regime —
-    * queries mixing one mid-frequency strong term with corpus-saturating
-    * stopwords (w0–w2 are in ~every synthesized doc: df≈N → idf≈0 → the
-    * bound proves them WEAK and their posting lists are never decoded).
-    * Reports wall time of both paths (min of 3 warm runs) plus the decoded
-    * block/posting volume of each — the reference's staged pruning exists
-    * precisely for this regime (index_storage.py:111-194). Reuses the
-    * pre-written corpus B; the index build is charged to neither path. */
-  private def wandRegime(spark: SparkSession, pagesDir: String, nDocs: Long): WandRegime = {
+  /** The staged-pruning (block-max WAND) arm in its winning regime — ONE
+    * genuinely rare strong term + corpus-saturating stopwords (df≈N →
+    * idf≈0 → the bound proves them WEAK and their posting lists are
+    * decoded only inside the rare term's ~df candidate blocks). Needs its
+    * own corpus with a WEB-SCALE vocabulary: under the 5k test vocabulary
+    * every term's df exceeds the N/8192 block count, so block-granular
+    * bounds can prune nothing (measured: blockRatio exactly 1.0). The
+    * strong term is picked by MEASURED df from termstats — ≥ k so θ
+    * seeds, ≪ #blocks so the term is block-sparse. Reports wall time of
+    * both paths (min of 3 warm runs) plus the decoded block/posting
+    * volume of each — the reference's staged pruning exists precisely
+    * for this regime (index_storage.py:111-194). The index build is
+    * charged to neither path. */
+  private def wandRegime(spark: SparkSession, nPages: Long, vocab: Int): WandRegime = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, count, sum}
+    import org.apache.spark.sql.functions.{abs, col, count, lit, sum}
+    val pagesDir = Files.createTempDirectory("graft-bench-wandpages").toString
     val dir = Files.createTempDirectory("graft-bench-wand").toString
     try {
+      corpus.Synthesizer.pages(spark, nPages, 256, vocab = vocab)
+        .write.mode("overwrite").parquet(pagesDir)
       graft.index.IndexBuilder.build(spark, spark.read.parquet(pagesDir), dir,
         auditExtraction = false)
       val index = graft.index.IndexBuilder.open(spark, dir)
-      val mixed = (0 until 8).map(i => (i.toLong, s"w${300 + 13 * i} w0 w1 w2"))
-        .toDF("qid", "text").cache(); mixed.count()
+      val rare = index.termStats
+        .filter(col("df").between(12, 40) && col("term").startsWith("w"))
+        .orderBy(abs(col("df") - 20), col("term"))
+        .select(col("term"), col("df")).as[(String, Long)].head()
+      val mixed = Seq((0L, s"${rare._1} w0 w1 w2")).toDF("qid", "text").cache()
+      mixed.count()
       def tmin(f: => Any): Double =
         (1 to 3).map { _ => val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }.min
       query.Bm25Search.searchPersisted(mixed, index, 10).count()  // warm both plans
@@ -135,11 +148,11 @@ object Bench {
       val cand = query.Bm25Search.wandCandidateBlocks(
         qterms, probed, index, 10, graft.index.Bm25Params())
       val candNos = cand.select(col("block_no")).distinct()
-      val (bF, pF) = probed.agg(count(col("n")), sum(col("n"))).as[(Long, Long)].head()
+      val (bF, pF) = probed.agg(count(lit(1)), sum(col("n"))).as[(Long, Long)].head()
       val (bW, pW) = probed.join(candNos, Seq("block_no"), "left_semi")
-        .agg(count(col("n")), sum(col("n"))).as[(Long, Long)].head()
-      WandRegime(tFull, tWand, bF, bW, pF, pW)
-    } finally deleteRecursively(dir)
+        .agg(count(lit(1)), sum(col("n"))).as[(Long, Long)].head()
+      WandRegime(nPages, vocab, rare._1, rare._2, tFull, tWand, bF, bW, pF, pW)
+    } finally { deleteRecursively(dir); deleteRecursively(pagesDir) }
   }
 
   private def deleteRecursively(path: String): Unit = {
@@ -190,7 +203,9 @@ object Bench {
               name -> -1.0
           }
         }
-        val wand = wandRegime(spark, pagesDirB, docsB)
+        val wand = wandRegime(spark,
+          sys.env.getOrElse("SPARK_GRAFT_WAND_DOCS", "6000000").toLong,
+          sys.env.getOrElse("SPARK_GRAFT_WAND_VOCAB", "2000000").toInt)
         spark.stop() // children must not share cores with a live parent
 
         // scaling evidence — primary pair ×3 (reproducibility), full-
@@ -232,7 +247,9 @@ object Bench {
         f""","efficiency_runs":$runsJson,"efficiency_median":$effMedian%.3f""")},""" +
       s"""${pairJson("full_machine", pairB)}}"""
     val wandJson =
-      f""""wand_regime":{"n_docs":$docsB,"full_sec":${wand.tFull}%.2f,""" +
+      f""""wand_regime":{"n_pages":${wand.nDocs},"vocab":${wand.vocab},""" +
+      f""""rare_term":"${wand.rareTerm}","rare_df":${wand.rareDf},""" +
+      f""""full_sec":${wand.tFull}%.2f,""" +
       f""""wand_sec":${wand.tWand}%.2f,"blocks_full":${wand.blocksFull},""" +
       f""""blocks_wand":${wand.blocksWand},"postings_full":${wand.postingsFull},""" +
       f""""postings_wand":${wand.postingsWand}}"""
@@ -308,10 +325,16 @@ Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
          |
          |## Staged pruning (block-max WAND) in its winning regime
          |
-         |${pairB.docs}-doc persisted index, 8 queries of one mid-frequency
-         |term + three corpus-saturating stopwords (df≈N → idf≈0 → provably
-         |weak → never decoded). Wall = min of 3 warm runs at local[$cpus];
-         |decode volume counted from each path's physical decode input.
+         |${wand.nDocs}-page persisted index with a WEB-SCALE vocabulary
+         |(${wand.vocab} Zipf terms — the 5k test vocabulary makes every
+         |term denser than one posting per doc-range block, so block
+         |bounds can prune nothing; real web text has a long df tail).
+         |Query = one rare strong term (picked by measured df:
+         |`${wand.rareTerm}`, df=${wand.rareDf}) + three corpus-saturating
+         |stopwords (df≈N → idf≈0 → provably weak → their posting lists
+         |are decoded only inside the rare term's candidate blocks).
+         |Wall = min of 3 warm runs at local[$cpus]; decode volume counted
+         |from each path's physical decode input.
          |
          || path | wall sec | blocks decoded | postings decoded |
          || --- | --- | --- | --- |
@@ -321,11 +344,12 @@ Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
          |Decode reduction: **${wand.blocksFull.toDouble / math.max(1, wand.blocksWand)}%.1f× fewer blocks**,
          |${wand.postingsFull.toDouble / math.max(1, wand.postingsWand)}%.1f× fewer postings; wall-time
          |${if (wand.tWand < wand.tFull) f"win ${wand.tFull / wand.tWand}%.1f×" else f"LOSS ${wand.tWand / wand.tFull}%.1f× (pruning pays in decode volume, not wall, at this scale)"}.
-         |Regimes WAND cannot win (measured in r2 probes, unchanged): a
-         |planted rare-term query (df=1 < k) yields no θ bound, and an
-         |all-stopword query has no strong term — both degenerate to the
-         |full path plus bound overhead; `searchFull`/`searchPersisted`
-         |stays the documented default.
+         |Regimes WAND cannot win (measured in r2/r3 probes): a planted
+         |unique-term query (df=1 < k) yields no θ bound; an all-stopword
+         |query has no strong term; a mid-frequency term (df ≥ #blocks)
+         |leaves a posting in every block (measured blockRatio 1.0) — all
+         |degenerate to the full path plus bound overhead, which is why
+         |`searchFull`/`searchPersisted` stays the documented default.
          |
          |## Per-query wall time (sf=$sfDir, local[$cpus], seconds)
          |

@@ -36,23 +36,26 @@ object Synthesizer {
   private def u01(h: Long): Double = (h >>> 11).toDouble / (1L << 53).toDouble
 
   /** Zipf-ish rank: power-law skewed towards low ranks (s≈1). */
-  private def zipfIdx(h: Long): Int = {
+  private def zipfIdx(h: Long, vocab: Int = VocabSize): Int = {
     val u = u01(h)
     // inverse-CDF of p(r) ∝ 1/r over [1, V]: r = V^u
-    math.min(VocabSize - 1, math.pow(VocabSize.toDouble, u).toInt - 1).max(0)
+    math.min(vocab - 1, math.pow(vocab.toDouble, u).toInt - 1).max(0)
   }
 
   def term(idx: Int): String = s"w$idx"
 
   /** Deterministic document text for docId. 20–220 terms; every 7th doc
-    * carries planted rare term `plant<docId/7>`. */
-  def text(docId: Long, seed: Long): String = {
+    * carries planted rare term `plant<docId/7>`. `vocab` defaults to the
+    * 5k test vocabulary; benches that need a web-realistic df tail (terms
+    * sparser than one posting per doc-range block, the regime block-max
+    * pruning exists for) pass a web-scale vocabulary instead. */
+  def text(docId: Long, seed: Long, vocab: Int = VocabSize): String = {
     val len = 20 + ((mix(seed, docId * 31 + 1) >>> 11) % 201).toInt
     val sb = new StringBuilder(len * 6)
     var j = 0
     while (j < len) {
       if (j > 0) sb.append(' ')
-      sb.append(term(zipfIdx(mix(seed, docId * 100003L + j))))
+      sb.append(term(zipfIdx(mix(seed, docId * 100003L + j), vocab)))
       j += 1
     }
     if (docId % 7 == 0) { sb.append(" plant").append(docId / 7) }
@@ -72,10 +75,11 @@ object Synthesizer {
 
   /** The pages table. Generated distributed (one task per partition slice
     * of spark.range) — scales to any n without driver materialization. */
-  def pages(spark: SparkSession, n: Long, partitions: Int, seed: Long = 42L): DataFrame = {
+  def pages(spark: SparkSession, n: Long, partitions: Int, seed: Long = 42L,
+            vocab: Int = VocabSize): DataFrame = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map { id =>
-      val t = text(id, seed)
+      val t = text(id, seed, vocab)
       (url(id), new Timestamp(Epoch + id * 1000L), html(t), t,
         Langs(((mix(seed, id * 13 + 7) >>> 11) % Langs.length).toInt))
     }.toDF("url", "warc_ts", "html", "text", "lang")

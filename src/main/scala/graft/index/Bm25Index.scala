@@ -52,8 +52,9 @@ object Bm25Index {
     * on this fixed-width long instead of the raw term string — at a
     * 10^8–10^9-term web vocabulary that shrinks shuffle rows and probe
     * keys several-fold. Injectivity over the vocabulary is audited at
-    * build time (termstats stage); on a collision the build fails fast
-    * and a salted seed re-keys the index. */
+    * build time (over the blocks table, which carries the term string);
+    * on a collision the build fails fast and a salted seed re-keys the
+    * index. */
   def termId(term: org.apache.spark.sql.Column, seed: Int = 0): org.apache.spark.sql.Column =
     if (seed == 0) xxhash64(term) else xxhash64(lit(seed), term)
 
@@ -141,23 +142,51 @@ object Bm25Index {
       .select(
         termId(col("term"), p.termIdSeed).as("term_id"),
         (col("doc_id") / p.blockSpan).cast("long").as("block_no"),
-        col("doc_id"), col("tf"), col("dl"))
+        col("term"), col("doc_id"), col("tf"), col("dl"))
       .groupBy(col("term_id"), col("block_no"))
-      .agg(collect_list(struct(col("doc_id"), col("tf"), col("dl"))).as("entries"))
+      // `term` rides along (one string per BLOCK group, not per posting:
+      // the map-side partial agg collapses it before the shuffle, and the
+      // sorted layout RLE/dict-encodes it in parquet) so the termstats
+      // stage can be derived from this table alone — without it, building
+      // the dictionary costs a SECOND full scan + shuffle of the postings
+      // table, the build's largest intermediate
+      .agg(first(col("term")).as("term"),
+        collect_list(struct(col("doc_id"), col("tf"), col("dl"))).as("entries"))
       .crossJoin(broadcast(corpusStats.select(col("avgdl"))))
       // one fused pass: sort + delta+varint + block-max (BlockEncodeExpr)
       .select(
         col("term_id"),
         col("block_no"),
+        col("term"),
         graft.codec.BlockEncode.block_encode(col("entries"), col("avgdl"), p.k1, p.b).as("be"))
       .select(
         col("term_id"),
         col("block_no"),
+        col("term"),
         col("be.n").as("n"),
         col("be.doc_ids_enc").as("doc_ids_enc"),
         col("be.tfs_enc").as("tfs_enc"),
         col("be.dls_enc").as("dls_enc"),
         col("be.block_max_tfnorm").as("block_max_tfnorm"))
+
+  /** (term, term_id, df, idf, max_tfnorm) derived from the BLOCKS table —
+    * df = Σ block n (postings are unique per (term, doc)), dictionary
+    * string and block-max carried on the block rows. Replaces a second
+    * full postings scan + groupBy(term) shuffle with an aggregation over
+    * the already-compressed blocks (orders of magnitude fewer rows). */
+  def termStatsFromBlocks(blocks: DataFrame, corpusStats: DataFrame): DataFrame =
+    blocks
+      .groupBy(col("term_id"))
+      .agg(first(col("term")).as("term"),
+        sum(col("n")).as("df"),
+        max(col("block_max_tfnorm")).as("max_tfnorm"))
+      .crossJoin(broadcast(corpusStats))
+      .select(
+        col("term"),
+        col("term_id"),
+        col("df"),
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0).as("idf"),
+        col("max_tfnorm"))
 
   /** Inverse of [[blocks]]: explode back to (term_id, doc_id, tf, dl).
     * Used by the scorer; proves the codec round-trips inside one Catalyst

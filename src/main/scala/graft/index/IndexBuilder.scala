@@ -61,7 +61,10 @@ object IndexBuilder {
       .withColumn("mid", monotonically_increasing_id())
       .withColumn("pid", shiftright(col("mid"), 33).cast("int"))
       .withColumn("local", col("mid").bitwiseAND(lit((1L << 33) - 1)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // DISK_ONLY: at 2 GB/core this intermediate competes with shuffle
+      // memory; serialized-to-local-disk is sequential IO and keeps the
+      // heap for the aggregations (SCALE.md §persist)
+      .persist(StorageLevel.DISK_ONLY)
     val counts = sorted.groupBy(col("pid")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val pids = counts.keys.toSeq.sorted
@@ -172,20 +175,23 @@ object IndexBuilder {
     reports += blocksReport
 
     // -- termstats (dictionary + df/idf + global block-max per term) ------
+    // derived from the blocks table ALONE (df = Σ n, dictionary string on
+    // the block rows): the postings table — the build's largest
+    // intermediate — is scanned exactly once, by the blocks stage
     val termReport = runStage(spark, indexDir, "termstats", blocksReport.snapshotId, baseCfg) {
       val blocks = spark.read.parquet(stageDir(indexDir, "blocks"))
-      val perTermMax = blocks.groupBy(col("term_id"))
-        .agg(max(col("block_max_tfnorm")).as("max_tfnorm"))
-      Bm25Index.termStats(postings, corpus, p.termIdSeed).join(perTermMax, "term_id")
+      Bm25Index.termStatsFromBlocks(blocks, corpus)
     }
     reports += termReport
 
     // term-id injectivity audit (vocabulary-sized, one aggregation): a
     // 64-bit hash collision would silently merge two posting lists —
-    // fail fast and re-key with a different termIdSeed instead
+    // fail fast and re-key with a different termIdSeed instead. Audited
+    // over the BLOCKS table (termstats groups BY term_id, so a collision
+    // would already be merged there and invisible to this check)
     if (!termReport.skipped) {
-      val ts = spark.read.parquet(stageDir(indexDir, "termstats"))
-      val a = ts.agg(count_distinct(col("term")).as("nt"),
+      val blk = spark.read.parquet(stageDir(indexDir, "blocks"))
+      val a = blk.agg(count_distinct(col("term")).as("nt"),
         count_distinct(col("term_id")).as("ni")).head
       require(a.getLong(0) == a.getLong(1),
         s"term-id hash collision (${a.getLong(0)} terms, ${a.getLong(1)} ids) " +
