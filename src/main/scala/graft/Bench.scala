@@ -40,14 +40,24 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ride out long GC pauses instead of expiring the local executor
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
 
-  /** One scaling measurement in an ISOLATED, core-pinned child JVM (see
-    * ScaleRunner). Returns (build sec, query sec, p50 sec). */
-  private def scaleRun(cpus: Int, nDocs: Long, pagesDir: String): (Double, Double, Double) = {
+  /** Fork an isolated, core-pinned child JVM running `mainClass args...`
+    * and return its merged stdout+stderr. Pinning (taskset +
+    * ActiveProcessorCount) makes the child's GC/JIT/pool sizing match a
+    * dedicated N-core executor node; heap scales at 2 GB/core (N vs 4N
+    * EXECUTORS means 4× the aggregate memory — a fixed heap would hand
+    * the low-core baseline 4× the per-core memory and bill the high-core
+    * run 4× the GC pressure). */
+  private def fork(mainClass: String, cpus: Int, args: Seq[String],
+                   heapGb: Int = 0, gc: String = "Parallel",
+                   extraJvm: Seq[String] = Nil): String = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -58,23 +68,19 @@ object Bench {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar"
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    // pin to the first `cpus` cores — a dedicated N-core executor node.
-    // taskset makes availableProcessors() == cpus; ActiveProcessorCount is
-    // belt-and-braces for environments without sched_getaffinity awareness
     val pin =
       if (new java.io.File("/usr/bin/taskset").exists())
         Seq("/usr/bin/taskset", "-c", s"0-${cpus - 1}")
       else Seq.empty
-    // heap scales with cores (2 GB/core): N vs 4N EXECUTORS means 4× the
-    // aggregate memory too — a fixed heap would hand the low-core baseline
-    // 4× the per-core memory and bill the high-core run 4× the GC pressure
+    val heap = if (heapGb > 0) heapGb else 2 * cpus
     val cmd = pin ++ Seq(javaBin) ++ addOpens ++ Seq(
-      s"-Xmx${2 * cpus}g", "-XX:+UseParallelGC", s"-XX:ActiveProcessorCount=$cpus",
+      s"-Xmx${heap}g", s"-XX:+Use${gc}GC", s"-XX:ActiveProcessorCount=$cpus") ++
+      extraJvm ++ Seq(
       "-cp", System.getProperty("java.class.path"),
-      "graft.ScaleRunner", cpus.toString, nDocs.toString, pagesDir)
-    // merge stderr into the read pipe: the SCALE-line regex tolerates the
-    // surrounding log noise, and an undrained stderr pipe (>64KB of Spark
-    // warnings) would block the child and deadlock the bench
+      mainClass) ++ args
+    // merge stderr into the read pipe: the result-line regexes tolerate
+    // the surrounding log noise, and an undrained stderr pipe (>64KB of
+    // Spark warnings) would block the child and deadlock the bench
     val out = new StringBuilder
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val reader = new java.io.BufferedReader(
@@ -82,7 +88,14 @@ object Bench {
     var line = reader.readLine()
     while (line != null) { out.append(line).append('\n'); line = reader.readLine() }
     proc.waitFor()
-    val m = """SCALE \d+ ([\d.]+) ([\d.]+) ([\d.]+)""".r.findFirstMatchIn(out.toString)
+    out.toString
+  }
+
+  /** One scaling measurement in an ISOLATED, core-pinned child JVM (see
+    * ScaleRunner). Returns (build sec, query sec, p50 sec). */
+  private def scaleRun(cpus: Int, nDocs: Long, pagesDir: String): (Double, Double, Double) = {
+    val out = fork("graft.ScaleRunner", cpus, Seq(cpus.toString, nDocs.toString, pagesDir))
+    val m = """SCALE \d+ ([\d.]+) ([\d.]+) ([\d.]+)""".r.findFirstMatchIn(out)
       .getOrElse(sys.error(s"ScaleRunner produced no SCALE line:\n$out"))
     (m.group(1).toDouble, m.group(2).toDouble, m.group(3).toDouble)
   }
@@ -95,9 +108,20 @@ object Bench {
     def eff: Double = (tpHigh / tpLow) / (nHigh.toDouble / nLow)
   }
 
+  /** One retry per measurement: a single fork lost to an episodic VM
+    * stall (or a transient child crash) must not zero the round's
+    * scaling evidence. */
+  private def scaleRunRetry(cpus: Int, nDocs: Long, pagesDir: String): (Double, Double, Double) =
+    try scaleRun(cpus, nDocs, pagesDir)
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] scale run local[$cpus] failed, retrying once: ${e.getMessage}")
+        scaleRun(cpus, nDocs, pagesDir)
+    }
+
   private def runPair(nLow: Int, nHigh: Int, docs: Long, pagesDir: String): Pair = {
-    val (tl, ql, pl) = scaleRun(nLow, docs, pagesDir)
-    val (th, qh, ph) = scaleRun(nHigh, docs, pagesDir)
+    val (tl, ql, pl) = scaleRunRetry(nLow, docs, pagesDir)
+    val (th, qh, ph) = scaleRunRetry(nHigh, docs, pagesDir)
     Pair(nLow, nHigh, docs, tl, th, ql, qh, pl, ph)
   }
 
@@ -113,46 +137,59 @@ object Bench {
     * own corpus with a WEB-SCALE vocabulary: under the 5k test vocabulary
     * every term's df exceeds the N/8192 block count, so block-granular
     * bounds can prune nothing (measured: blockRatio exactly 1.0). The
-    * strong term is picked by MEASURED df from termstats — ≥ k so θ
-    * seeds, ≪ #blocks so the term is block-sparse. Reports wall time of
-    * both paths (min of 3 warm runs) plus the decoded block/posting
-    * volume of each — the reference's staged pruning exists precisely
-    * for this regime (index_storage.py:111-194). The index build is
-    * charged to neither path. */
-  private def wandRegime(spark: SparkSession, nPages: Long, vocab: Int): WandRegime = {
-    import spark.implicits._
-    import org.apache.spark.sql.functions.{abs, col, count, lit, sum}
-    val pagesDir = Files.createTempDirectory("graft-bench-wandpages").toString
-    val dir = Files.createTempDirectory("graft-bench-wand").toString
+    * strong term is picked by MEASURED df from termstats. Runs in its OWN
+    * forked JVM (see WandRegimeRunner — the bench's largest-memory stage
+    * once stalled the parent with GC-starved heartbeats and killed every
+    * artifact of the round); a failure here costs only this arm. */
+  private def wandRegime(cpus: Int, nPages: Long, vocab: Int): Option[WandRegime] =
     try {
-      corpus.Synthesizer.pages(spark, nPages, 256, vocab = vocab)
-        .write.mode("overwrite").parquet(pagesDir)
-      graft.index.IndexBuilder.build(spark, spark.read.parquet(pagesDir), dir,
-        auditExtraction = false)
-      val index = graft.index.IndexBuilder.open(spark, dir)
-      val rare = index.termStats
-        .filter(col("df").between(12, 40) && col("term").startsWith("w"))
-        .orderBy(abs(col("df") - 20), col("term"))
-        .select(col("term"), col("df")).as[(String, Long)].head()
-      val mixed = Seq((0L, s"${rare._1} w0 w1 w2")).toDF("qid", "text").cache()
-      mixed.count()
-      def tmin(f: => Any): Double =
-        (1 to 3).map { _ => val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }.min
-      query.Bm25Search.searchPersisted(mixed, index, 10).count()  // warm both plans
-      query.Bm25Search.searchPersistedWand(mixed, index, 10).count()
-      val tFull = tmin(query.Bm25Search.searchPersisted(mixed, index, 10).count())
-      val tWand = tmin(query.Bm25Search.searchPersistedWand(mixed, index, 10).count())
-      val qterms = query.Bm25Search.compileQueriesLocal(mixed, index.termStats)
-      val ids = qterms.select(col("term_id")).distinct().as[Long].collect().toSeq
-      val probed = index.blocks.filter(col("term_id").isin(ids: _*))
-      val cand = query.Bm25Search.wandCandidateBlocks(
-        qterms, probed, index, 10, graft.index.Bm25Params())
-      val candNos = cand.select(col("block_no")).distinct()
-      val (bF, pF) = probed.agg(count(lit(1)), sum(col("n"))).as[(Long, Long)].head()
-      val (bW, pW) = probed.join(candNos, Seq("block_no"), "left_semi")
-        .agg(count(lit(1)), sum(col("n"))).as[(Long, Long)].head()
-      WandRegime(nPages, vocab, rare._1, rare._2, tFull, tWand, bF, bW, pF, pW)
-    } finally { deleteRecursively(dir); deleteRecursively(pagesDir) }
+      // 24g G1, NOT 2 GB/core ParallelGC: the build over a web-vocab
+      // corpus fills whatever old gen it is given, and a full ParallelGC
+      // pause on a 64-80g heap exceeds spark.network.timeout — the
+      // heartbeat expiry that killed this arm in-parent (measured twice:
+      // stall at ~13-14 min, executor exit 56). A bounded G1 heap trades
+      // spill for pause; the build is charged to neither measured path.
+      val out = fork("graft.WandRegimeRunner", cpus,
+        Seq(cpus.toString, nPages.toString, vocab.toString),
+        heapGb = 24, gc = "G1")
+      val m = """WANDREGIME (\S+) (\d+) ([\d.]+) ([\d.]+) (\d+) (\d+) (\d+) (\d+)""".r
+        .findFirstMatchIn(out)
+        .getOrElse(sys.error(s"WandRegimeRunner produced no WANDREGIME line:\n${out.takeRight(4000)}"))
+      Some(WandRegime(nPages, vocab, m.group(1), m.group(2).toLong,
+        m.group(3).toDouble, m.group(4).toDouble,
+        m.group(5).toLong, m.group(6).toLong, m.group(7).toLong, m.group(8).toLong))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] wand_regime arm FAILED (continuing): ${e.getMessage}")
+        None
+    }
+
+  private def wandMd(wand: Option[WandRegime], cpus: Int): String = wand match {
+    case None =>
+      """The forked wand_regime arm FAILED this run (see stderr); wall/decode
+        |numbers from the last successful run are in git history.
+        |""".stripMargin
+    case Some(w) =>
+      f"""${w.nDocs}-page persisted index with a WEB-SCALE vocabulary
+(${w.vocab} Zipf terms — the 5k test vocabulary makes every
+term denser than one posting per doc-range block, so block
+bounds can prune nothing; real web text has a long df tail).
+Query = one rare strong term (picked by measured df:
+`${w.rareTerm}`, df=${w.rareDf}) + three corpus-saturating
+stopwords (df≈N → idf≈0 → provably weak → their posting lists
+are decoded only inside the rare term's candidate blocks).
+Wall = min of 3 warm runs in a dedicated local[$cpus] JVM; decode
+volume counted from each path's physical decode input.
+
+ | path | wall sec | blocks decoded | postings decoded |
+ | --- | --- | --- | --- |
+ | full (searchPersisted) | ${w.tFull}%.2f | ${w.blocksFull} | ${w.postingsFull} |
+ | wand (searchPersistedWand) | ${w.tWand}%.2f | ${w.blocksWand} | ${w.postingsWand} |
+
+Decode reduction: **${w.blocksFull.toDouble / math.max(1, w.blocksWand)}%.1f× fewer blocks**,
+${w.postingsFull.toDouble / math.max(1, w.postingsWand)}%.1f× fewer postings; wall-time
+${if (w.tWand < w.tFull) f"win ${w.tFull / w.tWand}%.1f×" else f"LOSS ${w.tWand / w.tFull}%.1f× (pruning pays in decode volume, not wall, at this scale)"}.
+"""
   }
 
   private def deleteRecursively(path: String): Unit = {
@@ -203,10 +240,13 @@ object Bench {
               name -> -1.0
           }
         }
-        val wand = wandRegime(spark,
+        spark.stop() // children must not share cores with a live parent
+
+        // the wand arm forks its own right-sized JVM (largest-memory
+        // stage; an in-parent run once GC-stalled the whole bench)
+        val wand = wandRegime(cpus,
           sys.env.getOrElse("SPARK_GRAFT_WAND_DOCS", "6000000").toLong,
           sys.env.getOrElse("SPARK_GRAFT_WAND_VOCAB", "2000000").toInt)
-        spark.stop() // children must not share cores with a live parent
 
         // scaling evidence — primary pair ×3 (reproducibility), full-
         // machine pair ×1; arms alternate 2,8,2,8,... so the VM's episodic
@@ -246,13 +286,16 @@ object Bench {
       s"""{${pairJson("n_vs_4n", pairABest,
         f""","efficiency_runs":$runsJson,"efficiency_median":$effMedian%.3f""")},""" +
       s"""${pairJson("full_machine", pairB)}}"""
-    val wandJson =
-      f""""wand_regime":{"n_pages":${wand.nDocs},"vocab":${wand.vocab},""" +
-      f""""rare_term":"${wand.rareTerm}","rare_df":${wand.rareDf},""" +
-      f""""full_sec":${wand.tFull}%.2f,""" +
-      f""""wand_sec":${wand.tWand}%.2f,"blocks_full":${wand.blocksFull},""" +
-      f""""blocks_wand":${wand.blocksWand},"postings_full":${wand.postingsFull},""" +
-      f""""postings_wand":${wand.postingsWand}}"""
+    val wandJson = wand match {
+      case Some(w) =>
+        f""""wand_regime":{"n_pages":${w.nDocs},"vocab":${w.vocab},""" +
+        f""""rare_term":"${w.rareTerm}","rare_df":${w.rareDf},""" +
+        f""""full_sec":${w.tFull}%.2f,""" +
+        f""""wand_sec":${w.tWand}%.2f,"blocks_full":${w.blocksFull},""" +
+        f""""blocks_wand":${w.blocksWand},"postings_full":${w.postingsFull},""" +
+        f""""postings_wand":${w.postingsWand}}"""
+      case None => """"wand_regime":{"failed":true}"""
+    }
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"fixtures":$fx,"sf":"$sfDir","scaling":$scaling,$wandJson}""")
 
@@ -325,25 +368,7 @@ Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
          |
          |## Staged pruning (block-max WAND) in its winning regime
          |
-         |${wand.nDocs}-page persisted index with a WEB-SCALE vocabulary
-         |(${wand.vocab} Zipf terms — the 5k test vocabulary makes every
-         |term denser than one posting per doc-range block, so block
-         |bounds can prune nothing; real web text has a long df tail).
-         |Query = one rare strong term (picked by measured df:
-         |`${wand.rareTerm}`, df=${wand.rareDf}) + three corpus-saturating
-         |stopwords (df≈N → idf≈0 → provably weak → their posting lists
-         |are decoded only inside the rare term's candidate blocks).
-         |Wall = min of 3 warm runs at local[$cpus]; decode volume counted
-         |from each path's physical decode input.
-         |
-         || path | wall sec | blocks decoded | postings decoded |
-         || --- | --- | --- | --- |
-         || full (searchPersisted) | ${wand.tFull}%.2f | ${wand.blocksFull} | ${wand.postingsFull} |
-         || wand (searchPersistedWand) | ${wand.tWand}%.2f | ${wand.blocksWand} | ${wand.postingsWand} |
-         |
-         |Decode reduction: **${wand.blocksFull.toDouble / math.max(1, wand.blocksWand)}%.1f× fewer blocks**,
-         |${wand.postingsFull.toDouble / math.max(1, wand.postingsWand)}%.1f× fewer postings; wall-time
-         |${if (wand.tWand < wand.tFull) f"win ${wand.tFull / wand.tWand}%.1f×" else f"LOSS ${wand.tWand / wand.tFull}%.1f× (pruning pays in decode volume, not wall, at this scale)"}.
+         |${wandMd(wand, cpus)}
          |Regimes WAND cannot win (measured in r2/r3 probes): a planted
          |unique-term query (df=1 < k) yields no θ bound; an all-stopword
          |query has no strong term; a mid-frequency term (df ≥ #blocks)

@@ -48,6 +48,9 @@ object ScaleRunner {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ride out long GC pauses instead of expiring the local executor
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // warmup at 1/10 scale: enough docs that C2 fully compiles the build's

@@ -166,19 +166,38 @@ object SparkEntry {
     IndexUpdater.openMerged(s, idxDir)
   }
 
+  /** The updated fixture folded into a FRESH base index (segments and
+    * tombstones gone, docIds re-densified in url order — compaction is
+    * the amortization knob the update path relies on at scale, SCALE.md
+    * §incremental). Because the synthetic urls zero-pad the original ids,
+    * the compacted docId of a live doc is exactly its dense rank among
+    * live docs — addressable by the DuckDB oracle. */
+  private def compactedIndexFor(s: SparkSession, dir: String): Bm25IndexTables = {
+    val idxDir = builtIndexCache.getOrElseUpdate(s"cmp:$dir", {
+      updatedIndexFor(s, dir)
+      val srcDir = builtIndexCache(s"upd:$dir")
+      val d = entryTmpRoot.resolve(s"cmpidx-${math.abs(dir.hashCode)}").toString
+      IndexUpdater.compact(s, srcDir, d)
+      d
+    })
+    IndexBuilder.open(s, idxDir)
+  }
+
   /** Force the one-time ON-DISK index fixtures (the persisted 5-stage
-    * base build and the updater's segments+tombstones build) outside any
-    * query timing, returning fixture → build seconds. Benchmarks call
-    * this before the timed sweep so `bm25_topk_persisted`/`_updated`
-    * measure QUERY cost, with the fixture cost reported under its own
-    * key instead of silently inflating the first query that touches it. */
+    * base build, the updater's segments+tombstones build, and its
+    * compaction) outside any query timing, returning fixture → build
+    * seconds. Benchmarks call this before the timed sweep so
+    * `bm25_topk_persisted`/`_updated`/`_compacted` measure QUERY cost,
+    * with the fixture cost reported under its own key instead of
+    * silently inflating the first query that touches it. */
   def prepareFixtures(s: SparkSession, dir: String): Seq[(String, Double)] = {
     def timed(name: String)(f: => Unit): (String, Double) = {
       val t0 = System.nanoTime(); f; name -> (System.nanoTime() - t0) / 1e9
     }
     Seq(
       timed("persisted_index_build") { persistedIndexFor(s, dir); () },
-      timed("updated_index_build") { updatedIndexFor(s, dir); () })
+      timed("updated_index_build") { updatedIndexFor(s, dir); () },
+      timed("compacted_index_build") { compactedIndexFor(s, dir); () })
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -250,6 +269,15 @@ object SparkEntry {
     // stats recomputed over the live merged corpus (index_updater.py:28-250)
     "bm25_topk_updated" -> ((s, dir) =>
       Bm25Search.searchPersisted(flagshipQueriesDf(s), updatedIndexFor(s, dir), 10)
+        .select(col("qid"), col("doc_id"), col("rank"),
+          round(col("score"), 4).as("score"))),
+
+    // the updated fixture COMPACTED into a fresh base (segments +
+    // tombstones folded away, docIds re-densified): identical ranking to
+    // bm25_topk_updated modulo the dense renumbering the oracle replays
+    // (SURVEY §2.9 St2; reference index_updater persist_to_disk)
+    "bm25_topk_compacted" -> ((s, dir) =>
+      Bm25Search.searchPersisted(flagshipQueriesDf(s), compactedIndexFor(s, dir), 10)
         .select(col("qid"), col("doc_id"), col("rank"),
           round(col("score"), 4).as("score"))),
 
@@ -369,12 +397,13 @@ object SparkEntry {
     FlagshipQueries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
 
   /** Shared CTE prefix: tokenize + postings + stats + compiled queries.
-    * `docsWhere` restricts the corpus (persisted-updater live set) — all
-    * stats (n_docs, avgdl, df) are computed over the restricted corpus,
-    * matching openMerged's recomputed live stats. */
-  private def bm25Cte(docsWhere: String): String =
+    * `docsSel` is the corpus source query (restricted / renumbered for
+    * the updater and compaction fixtures) — all stats (n_docs, avgdl, df)
+    * are computed over exactly that corpus, matching openMerged's
+    * recomputed live stats. */
+  private def bm25CteFrom(docsSel: String): String =
     s"""WITH toks AS (
-       |  SELECT doc_id, $ToksDoc AS toks FROM documents WHERE $docsWhere
+       |  SELECT doc_id, $ToksDoc AS toks FROM ($docsSel) AS live_docs
        |), terms AS (
        |  SELECT doc_id, unnest(toks) AS term FROM toks
        |), tf AS (
@@ -412,6 +441,9 @@ object SparkEntry {
        |  FROM scores
        |)""".stripMargin
 
+  private def bm25Cte(docsWhere: String): String =
+    bm25CteFrom(s"SELECT doc_id, text FROM documents WHERE $docsWhere")
+
   private val Bm25Cte: String = bm25Cte("TRUE")
 
   private val Bm25TopkSql: String =
@@ -424,6 +456,17 @@ object SparkEntry {
     * segment = all docs with original ids). */
   private val Bm25TopkUpdatedSql: String =
     s"""${bm25Cte("doc_id % 10 <> 7")}
+       |SELECT qid, doc_id, rank, round(score, 4) AS score
+       |FROM ranked WHERE rank <= 10""".stripMargin
+
+  /** Compaction renumbers live docs densely in url (= zero-padded
+    * original-id) order, so the compacted docId of a live doc is its
+    * row_number over doc_id among live docs, minus one. Scores are
+    * unchanged — same corpus, same stats. */
+  private val Bm25TopkCompactedSql: String =
+    s"""${bm25CteFrom(
+          "SELECT row_number() OVER (ORDER BY doc_id) - 1 AS doc_id, text " +
+          "FROM documents WHERE doc_id % 10 <> 7")}
        |SELECT qid, doc_id, rank, round(score, 4) AS score
        |FROM ranked WHERE rank <= 10""".stripMargin
 
@@ -507,6 +550,7 @@ object SparkEntry {
     "bm25_topk_window" -> Bm25TopkSql,
     "bm25_topk_persisted" -> Bm25TopkSql,
     "bm25_topk_updated" -> Bm25TopkUpdatedSql,
+    "bm25_topk_compacted" -> Bm25TopkCompactedSql,
 
     "bm25_topk_restricted" ->
       s"""$Bm25Cte

@@ -96,6 +96,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"recall collapsed: $recall%.3f")
   }
 
+  test("persisted IVF model round-trips and searches identically") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-model").toString
+    try {
+      Similarity.saveIvf(spark, emb, dir)
+      val reopened = Similarity.openIvf(spark, dir)
+      val qs = Seq(0L, 1L, 2L, 3L, 4L)
+      val fresh = Similarity.ivfTopK(emb, qs, 10, 4, Similarity.trainedIvf(emb))
+        .as[(Long, Long, Int, Double)].collect().toSet
+      val persisted = Similarity.ivfTopK(emb, qs, 10, 4, reopened)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(persisted == fresh,
+        "persisted model must reproduce the fresh model's ranking exactly")
+      // the manifests commit atomically — a partial write must not open
+      val bad = java.nio.file.Files.createTempDirectory("graft-ivf-bad").toString
+      assertThrows[IllegalArgumentException](Similarity.openIvf(spark, bad))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("embedding near-dups: every emitted pair verifies against local cosine") {
     val emb = (0 until 60).map { i =>
       // two planted near-identical vectors: 50 ≈ 0
