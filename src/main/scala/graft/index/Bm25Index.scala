@@ -93,12 +93,21 @@ object Bm25Index {
       col("doc_id"),
       size(Tokenizer.tokenizeDoc(col("text"))).as("dl"))
 
-  /** One-row (n_docs, avgdl) — broadcast-sized corpus stats (reference
-    * avg_doclen all_reduce, collection_indexer.py:133-183). */
+  /** One-row (n_docs, avgdl, sum_dl) — broadcast-sized corpus stats
+    * (reference avg_doclen all_reduce, collection_indexer.py:133-183).
+    * avgdl is derived as Σdl / n (dl sums are exact integers far below
+    * 2^53, so this equals avg() bit-for-bit) and Σdl is kept on the row:
+    * persisted per segment, it makes merged corpus stats ADDITIVE —
+    * openMerged reconstructs exact (n, avgdl) from per-segment one-row
+    * tables without rescanning 10^12 docs rows. */
   def corpusStats(docStats: DataFrame): DataFrame =
     docStats.agg(
       count(lit(1)).as("n_docs"),
-      avg(col("dl")).as("avgdl"))
+      sum(col("dl")).as("sum_dl"))
+      .select(
+        col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"),
+        col("sum_dl"))
 
   /** (term, term_id, df, idf) — document frequency + Robertson idf, plus
     * the dictionary id (the ONLY place strings map to ids: queries compile
@@ -107,15 +116,23 @@ object Bm25Index {
     * (collection_indexer.py:475). */
   def termStats(postings: DataFrame, corpusStats: DataFrame,
                 termIdSeed: Int = 0): DataFrame =
-    postings
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(corpusStats))
-      .select(
-        col("term"),
-        termId(col("term"), termIdSeed).as("term_id"),
-        col("df"),
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0).as("idf"))
+    withIdf(
+      postings
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+        .select(col("term"), termId(col("term"), termIdSeed).as("term_id"), col("df")),
+      corpusStats)
+
+  /** Append Robertson idf to a table carrying a `df` column (other columns
+    * pass through). Shared by every stats producer (fresh aggregation,
+    * blocks-derived, openMerged's incremental df merge) so all emit the
+    * bit-identical closed form. */
+  def withIdf(dfTable: DataFrame, corpusStats: DataFrame): DataFrame =
+    dfTable
+      .crossJoin(broadcast(corpusStats.select(col("n_docs"))))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .drop("n_docs")
 
   /** tf-saturation term of BM25 — exact per (tf, dl) once avgdl is known. */
   def tfNorm(tf: org.apache.spark.sql.Column, dl: org.apache.spark.sql.Column,
@@ -175,18 +192,14 @@ object Bm25Index {
     * full postings scan + groupBy(term) shuffle with an aggregation over
     * the already-compressed blocks (orders of magnitude fewer rows). */
   def termStatsFromBlocks(blocks: DataFrame, corpusStats: DataFrame): DataFrame =
-    blocks
-      .groupBy(col("term_id"))
-      .agg(first(col("term")).as("term"),
-        sum(col("n")).as("df"),
-        max(col("block_max_tfnorm")).as("max_tfnorm"))
-      .crossJoin(broadcast(corpusStats))
-      .select(
-        col("term"),
-        col("term_id"),
-        col("df"),
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0).as("idf"),
-        col("max_tfnorm"))
+    withIdf(
+      blocks
+        .groupBy(col("term_id"))
+        .agg(first(col("term")).as("term"),
+          sum(col("n")).as("df"),
+          max(col("block_max_tfnorm")).as("max_tfnorm")),
+      corpusStats)
+      .select(col("term"), col("term_id"), col("df"), col("idf"), col("max_tfnorm"))
 
   /** Inverse of [[blocks]]: explode back to (term_id, doc_id, tf, dl).
     * Used by the scorer; proves the codec round-trips inside one Catalyst

@@ -142,7 +142,9 @@ object IndexBuilder {
 
     // -- corpusstats ------------------------------------------------------
     val statsReport = runStage(spark, indexDir, "corpusstats", docsReport.snapshotId, baseCfg) {
-      docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      // sum_dl rides on the one-row table so openMerged can reconstruct
+      // exact merged stats additively (see Bm25Index.corpusStats)
+      Bm25Index.corpusStats(docs.select(col("doc_id"), col("dl")))
     }
     reports += statsReport
     val corpus = spark.read.parquet(stageDir(indexDir, "corpusstats"))

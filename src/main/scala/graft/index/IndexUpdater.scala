@@ -140,18 +140,71 @@ object IndexUpdater {
     val blocks = allDirs.map(d => spark.read.parquet(IndexBuilder.stageDir(d, "blocks")))
       .reduce(_ unionByName _)
     val tombs = tombstones(spark, indexDir)
-    val corpus = Bm25Index.corpusStats(
-      liveDocs(spark, indexDir).select(col("doc_id"), col("dl")))
 
-    // exact df over live docs: union the persisted sorted postings and
-    // re-aggregate (segments are doc-disjoint, tombstones subtract)
-    val postings = allDirs.map(d => spark.read.parquet(IndexBuilder.stageDir(d, "postings")))
+    // exact corpus stats WITHOUT rescanning 10^12 docs rows: Σdl and n are
+    // additive across the per-dir one-row corpusstats tables; tombstoned
+    // docs subtract through a deletion-sized docs∩tombstones semi-join
+    // (old-format dirs without sum_dl fall back to the live-docs scan)
+    val perDirStats = allDirs.map(d =>
+      spark.read.parquet(IndexBuilder.stageDir(d, "corpusstats")))
+    val corpus =
+      if (perDirStats.exists(!_.columns.contains("sum_dl")))
+        Bm25Index.corpusStats(liveDocs(spark, indexDir).select(col("doc_id"), col("dl")))
+      else {
+        val totals = perDirStats.map(_.select(col("n_docs"), col("sum_dl")))
+          .reduce(_ unionByName _)
+          .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+        val liveTotals = tombs match {
+          case Some(t) =>
+            val docsDl = allDirs
+              .map(d => spark.read.parquet(IndexBuilder.stageDir(d, "docs"))
+                .select(col("doc_id"), col("dl")))
+              .reduce(_ unionByName _)
+            val dead = t.intersectWith(docsDl)
+              .agg(count(lit(1)).as("dead_n"),
+                coalesce(sum(col("dl")), lit(0L)).as("dead_dl"))
+            totals.crossJoin(dead)
+              .select((col("n_docs") - col("dead_n")).as("n_docs"),
+                (col("sum_dl") - col("dead_dl")).as("sum_dl"))
+          case None => totals
+        }
+        liveTotals.select(
+          col("n_docs"),
+          (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"),
+          col("sum_dl"))
+      }
+
+    // exact df over live docs WITHOUT re-aggregating the merged postings
+    // (the build's largest table — at web scale a petabyte-class scan +
+    // full groupBy(term) shuffle per open): segments are doc-disjoint, so
+    // df is ADDITIVE across the per-dir termstats tables (vocabulary-sized
+    // rows); only the tombstoned docs' contributions are subtracted, from
+    // a DELETION-sized postings∩tombstones semi-join (column-pruned to
+    // (term, doc_id); nothing live is shuffled). idf is re-derived through
+    // the same shared closed form over the live corpus stats, so the
+    // result is row-identical to a fresh-rebuild aggregation (gated by
+    // IndexUpdaterSpec's merged ≡ fresh test).
+    val dfMerged = allDirs
+      .map(d => spark.read.parquet(IndexBuilder.stageDir(d, "termstats"))
+        .select(col("term"), col("term_id"), col("df")))
       .reduce(_ unionByName _)
-    val livePostings = tombs match {
-      case Some(t) => t.subtractFrom(postings)
-      case None => postings
+      .groupBy(col("term"), col("term_id"))
+      .agg(sum(col("df")).as("df"))
+    val dfLive = tombs match {
+      case Some(t) =>
+        val postings = allDirs
+          .map(d => spark.read.parquet(IndexBuilder.stageDir(d, "postings"))
+            .select(col("term"), col("doc_id")))
+          .reduce(_ unionByName _)
+        val dead = t.intersectWith(postings)
+          .groupBy(col("term")).agg(count(lit(1)).as("dead_df"))
+        dfMerged.join(dead, Seq("term"), "left")
+          .select(col("term"), col("term_id"),
+            (col("df") - coalesce(col("dead_df"), lit(0L))).as("df"))
+          .filter(col("df") > 0)
+      case None => dfMerged
     }
-    val termStats = Bm25Index.termStats(livePostings, corpus)
+    val termStats = Bm25Index.withIdf(dfLive, corpus)
 
     // admissible WAND bound scale: avgdl_now vs the smallest build avgdl
     val avgdlNow = corpus.select(col("avgdl")).head.getDouble(0)

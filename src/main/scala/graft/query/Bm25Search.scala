@@ -429,12 +429,19 @@ final case class Tombstones(df: DataFrame, rows: Long) {
     * Catalyst's size estimate in both directions: small sets broadcast
     * even when stats are missing; huge sets get the shuffled-hash hint so
     * the planner cannot pick an unbounded broadcast. */
-  def subtractFrom(from: DataFrame): DataFrame = {
-    val ids = df.select(col("doc_id"))
-    val side =
-      if (rows <= Tombstones.BroadcastMaxRows) broadcast(ids)
-      else ids.hint("shuffle_hash")
+  def subtractFrom(from: DataFrame): DataFrame =
     from.join(side, Seq("doc_id"), "left_anti")
+
+  /** `from` restricted TO tombstoned doc_ids — the deletion-sized
+    * complement of [[subtractFrom]] (openMerged's incremental df merge
+    * aggregates only the dead docs' postings, never the live corpus). */
+  def intersectWith(from: DataFrame): DataFrame =
+    from.join(side, Seq("doc_id"), "left_semi")
+
+  private def side: DataFrame = {
+    val ids = df.select(col("doc_id"))
+    if (rows <= Tombstones.BroadcastMaxRows) broadcast(ids)
+    else ids.hint("shuffle_hash")
   }
 }
 

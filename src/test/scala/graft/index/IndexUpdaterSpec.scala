@@ -116,6 +116,18 @@ class IndexUpdaterSpec extends AnyFunSuite {
     assert(fullBoundary == wantBoundary, "rank-k boundary scores differ (full)")
     assert(wandCore == wantCore, "merged WAND differs from fresh rebuild")
     assert(wandBoundary == wantBoundary, "rank-k boundary scores differ (WAND)")
+
+    // the incremental df merge (per-segment termstats sums − deletion-sized
+    // tombstone decrements) must equal a fresh-rebuild aggregation term by
+    // term, df AND idf bit-exact — not just at the observed top-k
+    val mergedStats = merged.termStats
+      .select(col("term"), col("df"), col("idf"))
+      .as[(String, Long, Double)].collect().toSet
+    val freshStats = fresh.termStats
+      .select(col("term"), col("df"), col("idf"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(mergedStats == freshStats,
+      "incremental merged termstats differ from fresh-rebuild aggregation")
   }
 
   test("compaction preserves results and clears the need for merge overhead") {
