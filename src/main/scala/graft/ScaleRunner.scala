@@ -42,10 +42,11 @@ object ScaleRunner {
     val cpus = args(0).toInt
     val nDocs = args(1).toLong
     val pagesDir = args(2)
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "1").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scale-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", (mult * cpus).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // ride out long GC pauses instead of expiring the local executor
@@ -73,8 +74,13 @@ object ScaleRunner {
       dir = Files.createTempDirectory(s"graft-scale-$cpus-$r").toString
       dirs += dir
       val t0 = System.nanoTime()
-      IndexBuilder.build(spark, pages, dir, auditExtraction = false)
-      (System.nanoTime() - t0) / 1e9
+      val reps = IndexBuilder.build(spark, pages, dir, auditExtraction = false)
+      val t = (System.nanoTime() - t0) / 1e9
+      // per-stage breakdown (diagnostic; the parent's regex reads only the
+      // SCALE line) — what to attack when the N→4N ratio sags
+      System.err.println(f"STAGES $cpus run$r total=$t%.2f " +
+        reps.map(x => f"${x.stage}=${x.seconds}%.2f").mkString(" "))
+      t
     }.min
     val index = IndexBuilder.open(spark, dir)
     val queries = Synthesizer.queries(spark, 40, nDocs)

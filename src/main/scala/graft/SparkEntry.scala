@@ -108,7 +108,7 @@ object SparkEntry {
     s.read.parquet(s"$dir/embeddings.parquet")
 
   // -- persisted index fixtures -----------------------------------------
-  // The oracle-gated PERSISTED path (VERDICT r1 item 1): the 5-stage
+  // The oracle-gated PERSISTED path (VERDICT r1 item 1): the 4-stage
   // IndexBuilder build + parquet In-filter search, and the updater's
   // segments+tombstones merged read, each built once per JVM into a temp
   // dir and searched by its SparkEntry query. The synthetic pages table is
@@ -183,7 +183,7 @@ object SparkEntry {
     IndexBuilder.open(s, idxDir)
   }
 
-  /** Force the one-time ON-DISK index fixtures (the persisted 5-stage
+  /** Force the one-time ON-DISK index fixtures (the persisted 4-stage
     * base build, the updater's segments+tombstones build, and its
     * compaction) outside any query timing, returning fixture → build
     * seconds. Benchmarks call this before the timed sweep so
@@ -256,8 +256,9 @@ object SparkEntry {
           round(col("score"), 4).as("score"))
     }),
 
-    // same result through the PERSISTED 5-stage build (docs → corpusstats →
-    // postings → blocks → termstats) + parquet In-filter pushdown search —
+    // same result through the PERSISTED 4-stage build (docs → corpusstats →
+    // blocks → termstats; postings live only as shuffle files) + parquet
+    // In-filter pushdown search —
     // the reference's always-persisted index contract
     // (collection_indexer.py:346-356, index_loader.py:29-58)
     "bm25_topk_persisted" -> ((s, dir) =>

@@ -22,17 +22,18 @@ import graft.query.Bm25IndexTables
   *
   *   docs        filter(lang/text) → byte-identity html⇄text audit →
   *               scalable dense docId assignment → corpus snapshot
-  *   corpusstats (n_docs, avgdl) one-row table
-  *   postings    tokenize → (term, doc_id, tf), range-partitioned by
-  *               (term, doc_id) + sorted — the SPIMI merge as ONE
-  *               declarative shuffle (reference finalize's single-node
-  *               global code sort, collection_indexer.py:438-479)
-  *   blocks      delta+varint compressed posting blocks keyed by
+  *   corpusstats (n_docs, avgdl, sum_dl) one-row table
+  *   blocks      tokenize → (term, doc_id, tf) projection (zero-shuffle,
+  *               never materialized: the shuffle files ARE the SPIMI
+  *               runs — reference finalize's global code sort,
+  *               collection_indexer.py:438-479) → delta+varint
+  *               compressed posting blocks keyed by
   *               (term, block_no=doc_id/blockSpan) with block-max scores;
   *               the doc-range block key is the explicit skew salt: a
   *               stopword term's 10^11 postings become ~10^7 independent
   *               reduce keys (north-rule skew handling)
-  *   termstats   (term, df, idf, max_tfnorm) — global WAND upper bounds
+  *   termstats   (term, df, idf, max_tfnorm) — global WAND upper bounds,
+  *               aggregated from the blocks table (vocabulary-sized)
   *
   * Scale notes: every stage is a single declarative plan (partial
   * aggregation + AQE apply); the only driver-side data are per-partition
@@ -44,7 +45,7 @@ object IndexBuilder {
   case class BuildReport(stage: String, skipped: Boolean, rows: Long, snapshotId: Long,
                          seconds: Double = 0.0)
 
-  val Stages = Seq("docs", "corpusstats", "postings", "blocks", "termstats")
+  val Stages = Seq("docs", "corpusstats", "blocks", "termstats")
 
   def stageDir(indexDir: String, stage: String): String = s"$indexDir/$stage"
 
@@ -156,22 +157,25 @@ object IndexBuilder {
     // blocks table), so no sorted layout is needed here — the one shuffle
     // of the build is the blocks stage's repartition by (term, block_no),
     // whose docId-range component is the explicit stopword-skew salt.
-    val postingsReport = runStage(spark, indexDir, "postings", docsReport.snapshotId, baseCfg) {
-      Bm25Index.postingsWithDl(docs)
-    }
-    reports += postingsReport
-    val postings = spark.read.parquet(stageDir(indexDir, "postings"))
-
     // -- blocks -----------------------------------------------------------
-    val blocksParent = TableManifest.snapshotId("chain", postingsReport.snapshotId,
+    val blocksParent = TableManifest.snapshotId("chain", docsReport.snapshotId,
       statsReport.snapshotId, Seq.empty, Map.empty)
     val blocksReport = runStage(spark, indexDir, "blocks", blocksParent, baseCfg) {
-      // the groupBy inside Bm25Index.blocks already hash-partitions on
+      // The raw postings NEVER materialize: the tokenize → term_counts →
+      // explode projection feeds the blocks exchange directly, so the
+      // build's largest intermediate exists only as shuffle files —
+      // Spark's external sort IS the SPIMI run-write/merge
+      // (collection_indexer.py's per-chunk codes→merge). Persisting it
+      // as a table would double the biggest write+read of the build
+      // (petabyte-class at 10^12 docs) to buy nothing: a blocks-stage
+      // failure resumes from the committed docs table.
+      //
+      // The groupBy inside Bm25Index.blocks already hash-partitions on
       // (term_id, block_no) — an explicit repartition here would be a
       // SECOND full exchange of the encoded blocks for the same layout.
       // Only the within-partition sort is added, so parquet row groups
       // are clustered by term_id for query-time min/max pruning.
-      Bm25Index.blocks(postings, corpus, p)
+      Bm25Index.blocks(Bm25Index.postingsWithDl(docs), corpus, p)
         .sortWithinPartitions(col("term_id"), col("block_no"))
     }
     reports += blocksReport

@@ -11,7 +11,7 @@ import graft.query.{Bm25IndexTables, Tombstones}
 /** Incremental index mutation — the Spark re-expression of the reference's
   * IndexUpdater.add/remove/persist_to_disk (colbert/index_updater.py:28-250):
   * instead of splicing strided tensors in place, additions land as
-  * self-contained SEGMENTS (mini 5-stage indexes under updates/seg-N) and
+  * self-contained SEGMENTS (mini 4-stage indexes under updates/seg-N) and
   * removals as TOMBSTONE parquet sets; a merged reader unions base +
   * segments and anti-joins tombstones. Compaction folds everything back
   * into a fresh base build.
@@ -174,13 +174,12 @@ object IndexUpdater {
           col("sum_dl"))
       }
 
-    // exact df over live docs WITHOUT re-aggregating the merged postings
-    // (the build's largest table — at web scale a petabyte-class scan +
-    // full groupBy(term) shuffle per open): segments are doc-disjoint, so
-    // df is ADDITIVE across the per-dir termstats tables (vocabulary-sized
-    // rows); only the tombstoned docs' contributions are subtracted, from
-    // a DELETION-sized postings∩tombstones semi-join (column-pruned to
-    // (term, doc_id); nothing live is shuffled). idf is re-derived through
+    // exact df over live docs WITHOUT re-aggregating the merged postings:
+    // segments are doc-disjoint, so df is ADDITIVE across the per-dir
+    // termstats tables (vocabulary-sized rows); only the tombstoned docs'
+    // contributions are subtracted, from a DELETION-sized decode∩tombstones
+    // semi-join over the pruned blocks scan (only the dead docs' block_nos
+    // are decoded; nothing live is shuffled). idf is re-derived through
     // the same shared closed form over the live corpus stats, so the
     // result is row-identical to a fresh-rebuild aggregation (gated by
     // IndexUpdaterSpec's merged ≡ fresh test).
@@ -192,13 +191,23 @@ object IndexUpdater {
       .agg(sum(col("df")).as("df"))
     val dfLive = tombs match {
       case Some(t) =>
-        val postings = allDirs
-          .map(d => spark.read.parquet(IndexBuilder.stageDir(d, "postings"))
-            .select(col("term"), col("doc_id")))
-          .reduce(_ unionByName _)
-        val dead = t.intersectWith(postings)
-          .groupBy(col("term")).agg(count(lit(1)).as("dead_df"))
-        dfMerged.join(dead, Seq("term"), "left")
+        // block-metadata prune BEFORE decoding: a dead doc can only live
+        // in block_no = doc_id/blockSpan, so blocks outside the tombstone
+        // set's block range are never even decoded. The span comes from
+        // the build's own manifest config (not an assumed default).
+        val span = TableManifest.read(IndexBuilder.stageDir(indexDir, "blocks"))
+          .config.getOrElse("block_span", Bm25Params().blockSpan.toString).toLong
+        val deadBlockNos = t.df
+          .select((col("doc_id") / span).cast("long").as("block_no"))
+          .distinct()
+        val candidate = blocks.join(
+          if (t.rows <= Tombstones.BroadcastMaxRows) broadcast(deadBlockNos)
+          else deadBlockNos.hint("shuffle_hash"),
+          Seq("block_no"), "left_semi")
+        val dead = t.intersectWith(
+            Bm25Index.decodeBlocks(candidate).select(col("term_id"), col("doc_id")))
+          .groupBy(col("term_id")).agg(count(lit(1)).as("dead_df"))
+        dfMerged.join(dead, Seq("term_id"), "left")
           .select(col("term"), col("term_id"),
             (col("df") - coalesce(col("dead_df"), lit(0L))).as("df"))
           .filter(col("df") > 0)

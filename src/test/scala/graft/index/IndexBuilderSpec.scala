@@ -36,13 +36,13 @@ class IndexBuilderSpec extends AnyFunSuite {
     }
   }
 
-  test("build commits all five stages with non-empty lineage; extraction audit is clean") {
+  test("build commits all four stages with non-empty lineage; extraction audit is clean") {
     val dir = tmpDir()
     val reports = IndexBuilder.build(spark, pages, dir)
     assert(reports.map(_.stage) == IndexBuilder.Stages)
     assert(reports.forall(!_.skipped))
     val manifests = IndexBuilder.manifests(dir)
-    assert(manifests.size == 5)
+    assert(manifests.size == IndexBuilder.Stages.size)
     manifests.foreach { m =>
       assert(m.files.nonEmpty, s"stage ${m.stage} has no files")
       assert(m.rows == m.files.map(_.rows).sum, s"stage ${m.stage} row/lineage mismatch")
@@ -65,13 +65,13 @@ class IndexBuilderSpec extends AnyFunSuite {
   test("partial build resumes from the last committed stage") {
     val dir = tmpDir()
     IndexBuilder.build(spark, pages, dir)
-    // simulate a crash after 'postings': drop the two downstream manifests
+    // simulate a crash after 'corpusstats': drop the two downstream manifests
     Seq("blocks", "termstats").foreach { s =>
       Files.delete(TableManifest.manifestPath(IndexBuilder.stageDir(dir, s)))
     }
     val resumed = IndexBuilder.build(spark, pages, dir)
     val byStage = resumed.map(r => r.stage -> r.skipped).toMap
-    assert(byStage("docs") && byStage("corpusstats") && byStage("postings"))
+    assert(byStage("docs") && byStage("corpusstats"))
     assert(!byStage("blocks") && !byStage("termstats"))
   }
 
@@ -116,10 +116,13 @@ class IndexBuilderSpec extends AnyFunSuite {
     val dirA = tmpDir(); val dirB = tmpDir()
     IndexBuilder.build(spark, pages, dirA, partitions = 3)
     IndexBuilder.build(spark, pages, dirB, partitions = 11)
-    val pa = spark.read.parquet(IndexBuilder.stageDir(dirA, "postings"))
-      .as[(String, Long, Int, Int)].collect().sorted.toSeq
-    val pb = spark.read.parquet(IndexBuilder.stageDir(dirB, "postings"))
-      .as[(String, Long, Int, Int)].collect().sorted.toSeq
+    // postings never materialize — compare the stored blocks DECODED,
+    // which also pins the codec round-trip at both layouts
+    def decoded(d: String) = Bm25Index
+      .decodeBlocks(spark.read.parquet(IndexBuilder.stageDir(d, "blocks")))
+      .as[(Long, Long, Int, Int)].collect().sorted.toSeq
+    val pa = decoded(dirA)
+    val pb = decoded(dirB)
     assert(pa == pb)
     val queries = Synthesizer.queries(spark, 12, NDocs)
     def run(d: String) = Bm25Search.searchPersisted(queries, IndexBuilder.open(spark, d), 5)
