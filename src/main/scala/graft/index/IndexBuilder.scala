@@ -130,6 +130,12 @@ object IndexBuilder {
           .count()
         baseCfg + ("extract_mismatches" -> mismatches.toString)
       }
+    // corpus stats are OBSERVED inside the docs write job itself (zero
+    // extra pass — at 10^12 docs this deletes a full table scan from
+    // every build); the one-row corpusstats table is then written from
+    // the observed values. Exact longs → the derived avgdl is identical
+    // to an aggregation over the written table.
+    val docsObs = org.apache.spark.sql.Observation()
     val docsReport = runStage(spark, indexDir, "docs", 0L, docsCfg) {
       // html is audited above but NOT carried through the docId sort —
       // it is the widest column and would double the shuffle/persist volume
@@ -137,15 +143,27 @@ object IndexBuilder {
         .select((col("doc_id") + docIdOffset).as("doc_id"),
           col("url"), col("warc_ts"), col("text"), col("lang"),
           size(Tokenizer.tokenizeDoc(col("text"))).as("dl"))
+        .observe(docsObs, count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     }
     reports += docsReport
     val docs = spark.read.parquet(docsDir)
 
     // -- corpusstats ------------------------------------------------------
     val statsReport = runStage(spark, indexDir, "corpusstats", docsReport.snapshotId, baseCfg) {
-      // sum_dl rides on the one-row table so openMerged can reconstruct
-      // exact merged stats additively (see Bm25Index.corpusStats)
-      Bm25Index.corpusStats(docs.select(col("doc_id"), col("dl")))
+      if (docsReport.skipped)
+        // resume: the docs write didn't run this build, so no observation
+        // exists — aggregate the committed table (docs-narrow, rare path)
+        Bm25Index.corpusStats(docs.select(col("doc_id"), col("dl")))
+      else {
+        val m = docsObs.get
+        val n = m("n_docs").asInstanceOf[Long]
+        val sumDl = Option(m("sum_dl")).fold(0L)(_.asInstanceOf[Long])
+        import spark.implicits._
+        Seq((n, sumDl)).toDF("n_docs", "sum_dl")
+          .select(col("n_docs"),
+            (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"),
+            col("sum_dl"))
+      }
     }
     reports += statsReport
     val corpus = spark.read.parquet(stageDir(indexDir, "corpusstats"))

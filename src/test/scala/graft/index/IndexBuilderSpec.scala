@@ -75,6 +75,25 @@ class IndexBuilderSpec extends AnyFunSuite {
     assert(!byStage("blocks") && !byStage("termstats"))
   }
 
+  test("resume recomputes corpusstats from the committed docs table when only docs survived") {
+    val dir = tmpDir()
+    IndexBuilder.build(spark, pages, dir)
+    val fresh = spark.read.parquet(IndexBuilder.stageDir(dir, "corpusstats"))
+      .as[(Long, Double, Long)].head()
+    // crash right after 'docs': the docs write is skipped on resume, so no
+    // in-job observation exists and corpusstats must fall back to
+    // aggregating the committed table — with identical values
+    Seq("corpusstats", "blocks", "termstats").foreach { s =>
+      Files.delete(TableManifest.manifestPath(IndexBuilder.stageDir(dir, s)))
+    }
+    val resumed = IndexBuilder.build(spark, pages, dir)
+    val byStage = resumed.map(r => r.stage -> r.skipped).toMap
+    assert(byStage("docs") && !byStage("corpusstats"))
+    val recomputed = spark.read.parquet(IndexBuilder.stageDir(dir, "corpusstats"))
+      .as[(Long, Double, Long)].head()
+    assert(recomputed == fresh, "fallback corpusstats differ from observed-path values")
+  }
+
   test("config change invalidates and rebuilds (no stale index reuse)") {
     val dir = tmpDir()
     IndexBuilder.build(spark, pages, dir)
