@@ -20,7 +20,7 @@ import org.apache.spark.sql.SparkSession
   *        -XX:ActiveProcessorCount=cpus, so the JVM's GC/JIT/pool sizing
   *        matches a real N-core executor node (without this the 2-core
   *        baseline borrows 32-core JVM services and the ratio is fiction);
-  *      - build time = min of 5 in-session builds, after a 1/10-scale
+  *      - build time = min of 7 in-session builds, after a 1/10-scale
   *        warmup build (sheds JIT convergence and the VM's episodic
   *        contention windows in which identical builds run ~2x slow);
   *      - the primary local[2] vs local[8] pair runs THREE consecutive
@@ -266,7 +266,7 @@ ${if (w.tWand < w.tFull) f"win ${w.tFull / w.tWand}%.1f×" else f"LOSS ${w.tWand
     val effMedian = effRuns(effRuns.size / 2)
     val pairAMed = pairsA.sortBy(_.eff).apply(pairsA.size / 2)
     // headline estimator: min build time per ARM across every fork of that
-    // arm (3 forks × min-of-5 builds = min of 15). Each fork's min-of-5
+    // arm (3 forks × min-of-7 builds = min of 21). Each fork's min-of-7
     // already estimates the uncontended build; pooling the arms' minima
     // extends the same estimator past fork-length contention windows that
     // a single fork cannot dodge. Per-run pair efficiencies stay in the
@@ -325,7 +325,7 @@ Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
          |node: GC/JIT/pool threads sized to the node, not the machine) and
          |heap scaled at 2 GB/core (N vs 4N executors means 4x the
          |aggregate memory; a fixed heap would bill the high-core run 4x
-         |the GC pressure); build time = min of 5 in-session builds after a
+         |the GC pressure); build time = min of 7 in-session builds after a
          |1/10-scale JIT warmup build (this VM shows episodic ~30-60s
          |contention windows running identical builds ~2x slow — the min
          |over 5 lands outside them). Target: efficiency >= 0.8.
@@ -337,8 +337,8 @@ Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
          |$runsMd
          |
          |Headline efficiency (pooled minimum — min build per arm across
-         |all ${pairsA.size} forks x 5 builds, the same uncontended-time
-         |estimator each fork's min-of-5 applies, extended past fork-length
+         |all ${pairsA.size} forks x 7 builds, the same uncontended-time
+         |estimator each fork's min-of-7 applies, extended past fork-length
          |contention windows): **${pairABest.eff}%.3f**.
          |Median of per-run efficiencies: **$effMedian%.3f**
          |(runs: ${effRuns.map(e => f"$e%.3f").mkString(", ")}).

