@@ -372,9 +372,12 @@ Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
          |Regimes WAND cannot win (measured in r2/r3 probes): a planted
          |unique-term query (df=1 < k) yields no θ bound; an all-stopword
          |query has no strong term; a mid-frequency term (df ≥ #blocks)
-         |leaves a posting in every block (measured blockRatio 1.0) — all
-         |degenerate to the full path plus bound overhead, which is why
-         |`searchFull`/`searchPersisted` stays the documented default.
+         |leaves a posting in every block (measured blockRatio 1.0). Since
+         |r3 the engine routes PER QUERY at compile time: qids with no
+         |block-sparse term (2·min df ≥ #blocks, metadata-only test) take
+         |the one-pass full path, so the degenerate regimes no longer even
+         |pay the bound-stage overhead; `searchFull`/`searchPersisted`
+         |remains the default for callers that never want pruning.
          |
          |## Per-query wall time (sf=$sfDir, local[$cpus], seconds)
          |

@@ -33,7 +33,7 @@ object Bm25Search {
       .select(col("qid"), explode(Tokenizer.tokenizeQuery(col("text"))).as("term"))
       .groupBy(col("qid"), col("term"))
       .agg(count(lit(1)).cast("int").as("qtf"))
-      .join(termStats.select(col("term"), col("term_id"), col("idf")), "term")
+      .join(termStats.select(col("term"), col("term_id"), col("idf"), col("df")), "term")
 
   /** Score hits: compiled query terms ⋈ decoded postings on term.
     * The query side is broadcast (J1 in SURVEY §2.4 — the IVF probe). */
@@ -127,13 +127,14 @@ object Bm25Search {
       }
   }
 
-  /** (term → (term_id, idf)) for the given terms — ONE isin-filtered job
-    * over the dictionary (row-group/batch stats prune the scan). */
-  def lookupTerms(terms: Seq[String], termStats: DataFrame): Map[String, (Long, Double)] =
+  /** (term → (term_id, idf, df)) for the given terms — ONE isin-filtered
+    * job over the dictionary (row-group/batch stats prune the scan). */
+  def lookupTerms(terms: Seq[String], termStats: DataFrame): Map[String, (Long, Double, Long)] =
     if (terms.isEmpty) Map.empty
     else termStats.filter(col("term").isin(terms: _*))
-      .select(col("term"), col("term_id"), col("idf"))
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      .select(col("term"), col("term_id"), col("idf"), col("df"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
 
   /** Compile a query batch on the DRIVER into a LocalRelation: tokenize
     * driver-side, resolve the batch's distinct terms with ONE dictionary
@@ -151,8 +152,8 @@ object Bm25Search {
     val counts = tokenizeQueriesDriver(queries)
     val dict = lookupTerms(counts.map(_._2).distinct, termStats)
     counts.flatMap { case (qid, t, qtf) =>
-      dict.get(t).map { case (id, idf) => (qid, t, qtf, id, idf) }
-    }.toDF("qid", "term", "qtf", "term_id", "idf")
+      dict.get(t).map { case (id, idf, df) => (qid, t, qtf, id, idf, df) }
+    }.toDF("qid", "term", "qtf", "term_id", "idf", "df")
   }
 
   /** IVF-probe with real I/O pruning for a PERSISTED index: compile the
@@ -184,12 +185,9 @@ object Bm25Search {
     * the parquet scan (same I/O pruning as [[searchPersisted]], same
     * results as [[searchWand]]). */
   def searchPersistedWand(queries: DataFrame, index: Bm25IndexTables, k: Int,
-                          p: Bm25Params = Bm25Params()): DataFrame = {
-    val qterms = compileQueriesLocal(queries, index.termStats)
-    val ids = qterms.select(col("term_id")).collect().map(_.getLong(0)).distinct.toSeq
-    searchWandCompiled(qterms,
-      index.copy(blocks = index.blocks.filter(col("term_id").isin(ids: _*))), k, p)
-  }
+                          p: Bm25Params = Bm25Params()): DataFrame =
+    routeWand(compileQueriesLocal(queries, index.termStats), index, k, p,
+      persisted = true)
 
   /** Search restricted to an allowed docId set (reference pid filter /
     * restricted search, searcher.py:87-95, index_storage.py:91-101):
@@ -321,7 +319,54 @@ object Bm25Search {
     */
   def searchWand(queries: DataFrame, index: Bm25IndexTables, k: Int,
                  p: Bm25Params = Bm25Params()): DataFrame =
-    searchWandCompiled(compileQueriesLocal(queries, index.termStats), index, k, p)
+    routeWand(compileQueriesLocal(queries, index.termStats), index, k, p,
+      persisted = false)
+
+  /** Adaptive strategy choice per QUERY, decided from compile-time
+    * metadata alone: WAND's bound stages can only pay off when at least
+    * one query term is BLOCK-SPARSE (present in well under half the
+    * doc-range blocks — a term with df ≥ #blocks has a posting in every
+    * block by pigeonhole, so nothing can be skipped and the multi-pass
+    * machinery is pure overhead, measured blockRatio 1.0 on the dense test
+    * vocabulary). Each qid routes independently: sparse-term queries take
+    * the pruned path, dense/stopword-only queries take the one-pass full
+    * path, and the union is exact either way (WAND ≡ full is
+    * property-tested). df is already on the compiled qterms rows and
+    * n_docs is a one-row lookup, so routing costs no extra distributed
+    * work. */
+  private def routeWand(qterms: DataFrame, index: Bm25IndexTables, k: Int,
+                        p: Bm25Params, persisted: Boolean): DataFrame = {
+    val spark = qterms.sparkSession
+    import spark.implicits._
+    val rows = qterms.select(col("qid"), col("term"), col("qtf"), col("term_id"),
+      col("idf"), col("df")).as[(Long, String, Int, Long, Double, Long)].collect()
+    if (rows.isEmpty) return fullPath(qterms, index, k, p, persisted)
+    val nBlocks = math.max(1L,
+      (index.corpusStats.select(col("n_docs")).head.getLong(0) + p.blockSpan - 1)
+        / p.blockSpan)
+    val minDf = rows.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._6).min }
+    val (wandRows, fullRows) = rows.partition(r => 2L * minDf(r._1) < nBlocks)
+    def frame(rs: Array[(Long, String, Int, Long, Double, Long)]) =
+      rs.toSeq.toDF("qid", "term", "qtf", "term_id", "idf", "df")
+    val parts =
+      (if (wandRows.nonEmpty) Seq(wandPath(frame(wandRows), index, k, p, persisted)) else Nil) ++
+      (if (fullRows.nonEmpty) Seq(fullPath(frame(fullRows), index, k, p, persisted)) else Nil)
+    parts.reduce(_ unionByName _)
+  }
+
+  private def wandPath(qterms: DataFrame, index: Bm25IndexTables, k: Int,
+                       p: Bm25Params, persisted: Boolean): DataFrame =
+    if (!persisted) searchWandCompiled(qterms, index, k, p)
+    else {
+      val ids = qterms.select(col("term_id")).collect().map(_.getLong(0)).distinct.toSeq
+      searchWandCompiled(qterms,
+        index.copy(blocks = index.blocks.filter(col("term_id").isin(ids: _*))), k, p)
+    }
+
+  private def fullPath(qterms: DataFrame, index: Bm25IndexTables, k: Int,
+                       p: Bm25Params, persisted: Boolean): DataFrame =
+    if (persisted) searchPersistedCompiled(qterms, index, k, p)
+    else searchCompiled(qterms, index, k, p)
 
   /** [[searchWand]] over an already-compiled qterms LocalRelation — the
     * four qterms subtrees below (rarest-term window, weak/strong split,

@@ -43,8 +43,8 @@ final class SearchSession private (spark: SparkSession, val index: Bm25IndexTabl
       missing.foreach(t => termDict.put(t, found.get(t)))
     }
     val qterms = counts.flatMap { case (qid, t, qtf) =>
-      termDict(t).map { case (id, idf) => (qid, t, qtf, id, idf) }
-    }.toDF("qid", "term", "qtf", "term_id", "idf")
+      termDict(t).map { case (id, idf, df) => (qid, t, qtf, id, idf, df) }
+    }.toDF("qid", "term", "qtf", "term_id", "idf", "df")
     Bm25Search.searchPersistedCompiled(qterms, index, k, p)
   }
 
@@ -53,7 +53,7 @@ final class SearchSession private (spark: SparkSession, val index: Bm25IndexTabl
     * at 2M entries costs one re-lookup per live term). */
   private val MaxDictEntries = 2000000
   private val termDict =
-    scala.collection.concurrent.TrieMap.empty[String, Option[(Long, Double)]]
+    scala.collection.concurrent.TrieMap.empty[String, Option[(Long, Double, Long)]]
 
   /** Single-query convenience (the server.py-style entry point). */
   def searchOne(text: String, k: Int): DataFrame = {

@@ -76,16 +76,21 @@ class IndexUpdaterSpec extends AnyFunSuite {
 
   test("merged view ≡ fresh rebuild over the live corpus (scores per url, full + WAND)") {
     val dir = tmp()
-    IndexBuilder.build(spark, basePages, dir)
+    // small blockSpan so this corpus spans many blocks: the adaptive
+    // router then sends sparse-term queries down the WAND path, which is
+    // what exercises wandBoundScale's admissibility under avgdl drift
+    // (default 8192 makes 380 docs one block → everything routes full)
+    val p = Bm25Params(blockSpan = 16)
+    IndexBuilder.build(spark, basePages, dir, p)
     val baseMax = spark.read.parquet(IndexBuilder.stageDir(dir, "docs"))
       .agg(max(col("doc_id"))).as[Long].head()
-    IndexUpdater.add(spark, dir, extraPages)
+    IndexUpdater.add(spark, dir, extraPages, p)
     // remove a slice of BASE docs (ids ≤ baseMax) so stats genuinely shift
     val removedIds = (0L to baseMax by 13L).toSeq
     IndexUpdater.remove(spark, dir, removedIds)
     val merged = IndexUpdater.openMerged(spark, dir)
-    val gotFull = byUrl(Bm25Search.searchFull(queries, merged, 10), mergedDocs(dir))
-    val gotWand = byUrl(Bm25Search.searchWand(queries, merged, 10), mergedDocs(dir))
+    val gotFull = byUrl(Bm25Search.searchFull(queries, merged, 10, p), mergedDocs(dir))
+    val gotWand = byUrl(Bm25Search.searchWand(queries, merged, 10, p), mergedDocs(dir))
 
     // docIds legitimately differ between a merged view (original ids kept)
     // and a fresh rebuild (renumbered) — so at the rank-k cut, equal-score

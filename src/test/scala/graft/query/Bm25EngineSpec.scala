@@ -57,11 +57,27 @@ class Bm25EngineSpec extends AnyFunSuite {
     }
   }
 
-  test("WAND-pruned path ≡ full path (pruning is exact)") {
-    val index = Bm25IndexTables.fromDocs(docsWithIds)
-    val full = collectRanking(Bm25Search.searchFull(queriesDf, index, K))
-    val wand = collectRanking(Bm25Search.searchWand(queriesDf, index, K))
+  test("WAND-pruned path ≡ full path (pruning is exact) and routing is non-trivial") {
+    // blockSpan small enough that the corpus spans many blocks — the
+    // adaptive router then sends sparse-term queries down the WAND path
+    // and dense-term queries down the full path; with the default 8192
+    // span this corpus is a single block and everything would route full,
+    // exercising nothing
+    val p = Bm25Params(blockSpan = 16)
+    val index = Bm25IndexTables.fromDocs(docsWithIds, p)
+    val full = collectRanking(Bm25Search.searchFull(queriesDf, index, K, p))
+    val wand = collectRanking(Bm25Search.searchWand(queriesDf, index, K, p))
     assert(wand == full)
+
+    // the split must actually exercise BOTH routes on this corpus
+    val nBlocks = math.max(1L, (NDocs + p.blockSpan - 1) / p.blockSpan)
+    val qterms = Bm25Search.compileQueries(queriesDf, index.termStats)
+      .select(col("qid"), col("df")).as[(Long, Long)].collect()
+    val minDf = qterms.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).min }
+    val routedWand = minDf.count { case (_, d) => 2L * d < nBlocks }
+    assert(routedWand > 0, "no query routed to the WAND path — routing untested")
+    assert(routedWand < minDf.size,
+      "every query routed to the WAND path — full-route untested")
   }
 
   test("heap-Aggregator top-k ≡ window top-k") {
@@ -127,13 +143,16 @@ class Bm25EngineSpec extends AnyFunSuite {
   }
 
   test("randomized corpora: WAND ≡ full across 5 seeds (pruning never drops a top-k doc)") {
+    // blockSpan 8 over 150 docs → ~19 blocks, so the router genuinely
+    // splits sparse-term queries onto the WAND path per corpus
+    val p = Bm25Params(blockSpan = 8)
     (1 to 5).foreach { seed =>
       val docs = Synthesizer.pages(spark, 150, 3, seed = seed.toLong * 1000 + 7)
       val ids = Synthesizer.withDocIds(docs).select(col("doc_id"), col("text"))
       val qs = Synthesizer.queries(spark, 12, 150, seed = seed.toLong * 77 + 1)
-      val index = Bm25IndexTables.fromDocs(ids)
-      val full = collectRanking(Bm25Search.searchFull(qs, index, 5))
-      val wand = collectRanking(Bm25Search.searchWand(qs, index, 5))
+      val index = Bm25IndexTables.fromDocs(ids, p)
+      val full = collectRanking(Bm25Search.searchFull(qs, index, 5, p))
+      val wand = collectRanking(Bm25Search.searchWand(qs, index, 5, p))
       assert(wand == full, s"seed=$seed")
     }
   }
