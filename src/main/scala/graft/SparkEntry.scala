@@ -249,6 +249,16 @@ object SparkEntry {
           round(col("score"), 4).as("score"))
     }),
 
+    // FLIPR-analog ranking (§2.6 W4): per (qid, doc) only the top-2
+    // strongest term contributions count, so one dominant term cannot be
+    // diluted (reference's experimental flipr reduce, colbert.py:172-185)
+    "bm25_topk_flipr" -> ((s, dir) => {
+      val index = indexFor(s, dir)
+      Bm25Search.searchFlipr(flagshipQueriesDf(s), index, 10, topTerms = 2)
+        .select(col("qid"), col("doc_id"), col("rank"),
+          round(col("score"), 4).as("score"))
+    }),
+
     // same result through the two-stage block-max pruned path (§2.7 O3)
     "bm25_topk_wand" -> ((s, dir) => {
       val index = indexFor(s, dir)
@@ -560,6 +570,24 @@ object SparkEntry {
     "bm25_topk" -> Bm25TopkSql,
     "bm25_topk_wand" -> Bm25TopkSql,
     "bm25_topk_window" -> Bm25TopkSql,
+    // flipr analog: rank by the sum of each doc's top-2 partials. Equal
+    // partials at the cut sum identically whichever is picked, so the
+    // partial-desc row_number needs no further tiebreak.
+    "bm25_topk_flipr" ->
+      s"""$Bm25Cte, fpart AS (
+         |  SELECT qid, doc_id, partial,
+         |         row_number() OVER (PARTITION BY qid, doc_id ORDER BY partial DESC) AS pr
+         |  FROM hits
+         |), fscores AS (
+         |  SELECT qid, doc_id, sum(partial) AS score FROM fpart WHERE pr <= 2 GROUP BY 1, 2
+         |), franked AS (
+         |  SELECT qid, doc_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC)::INT AS rank,
+         |         score
+         |  FROM fscores
+         |)
+         |SELECT qid, doc_id, rank, round(score, 4) AS score
+         |FROM franked WHERE rank <= 10""".stripMargin,
     "bm25_topk_persisted" -> Bm25TopkSql,
     "bm25_topk_updated" -> Bm25TopkUpdatedSql,
     "bm25_topk_compacted" -> Bm25TopkCompactedSql,

@@ -189,6 +189,29 @@ object Bm25Search {
     routeWand(compileQueriesLocal(queries, index.termStats), index, k, p,
       persisted = true)
 
+  /** FLIPR-analog scoring (reference's experimental flipr reduce sums only
+    * the top-K1 per-token maxima instead of all of them,
+    * colbert/modeling/colbert.py:172-185): per (qid, doc) the score is the
+    * sum of the `topTerms` LARGEST per-term BM25 contributions, so one
+    * dominant term cannot be diluted by many weak ones. Contributions are
+    * desc-sorted before the bounded sum (sort_array normalizes the
+    * collect_list order → bit-stable at any parallelism; equal partials
+    * sum identically whichever side of the cut they land on). */
+  def searchFlipr(queries: DataFrame, index: Bm25IndexTables, k: Int,
+                  topTerms: Int, p: Bm25Params = Bm25Params()): DataFrame = {
+    val qterms = compileQueries(queries, index.termStats)
+    val decoded = index.decode(
+      index.blocks.join(broadcast(qterms.select(col("term_id")).distinct()), "term_id"))
+    val flip = hits(qterms, decoded, index.corpusStats, p)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("partial"), col("term_id"))),
+        asc = false).as("ps"))
+      .select(col("qid"), col("doc_id"),
+        expr(s"aggregate(slice(ps, 1, $topTerms), 0d, (acc, x) -> acc + x.partial)")
+          .as("score"))
+    topK(flip, k)
+  }
+
   /** Search restricted to an allowed docId set (reference pid filter /
     * restricted search, searcher.py:87-95, index_storage.py:91-101):
     * ranks 1..k are assigned WITHIN the allowed set. The restriction is a
