@@ -181,10 +181,10 @@ are decoded only inside the rare term's candidate blocks).
 Wall = min of 3 warm runs in a dedicated local[$cpus] JVM; decode
 volume counted from each path's physical decode input.
 
- | path | wall sec | blocks decoded | postings decoded |
- | --- | --- | --- | --- |
- | full (searchPersisted) | ${w.tFull}%.2f | ${w.blocksFull} | ${w.postingsFull} |
- | wand (searchPersistedWand) | ${w.tWand}%.2f | ${w.blocksWand} | ${w.postingsWand} |
+| path | wall sec | blocks decoded | postings decoded |
+| --- | --- | --- | --- |
+| full (searchPersisted) | ${w.tFull}%.2f | ${w.blocksFull} | ${w.postingsFull} |
+| wand (searchPersistedWand) | ${w.tWand}%.2f | ${w.blocksWand} | ${w.postingsWand} |
 
 Decode reduction: **${w.blocksFull.toDouble / math.max(1, w.blocksWand)}%.1f× fewer blocks**,
 ${w.postingsFull.toDouble / math.max(1, w.postingsWand)}%.1f× fewer postings; wall-time
@@ -299,12 +299,14 @@ ${if (w.tWand < w.tFull) f"win ${w.tFull / w.tWand}%.1f×" else f"LOSS ${w.tWand
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"fixtures":$fx,"sf":"$sfDir","scaling":$scaling,$wandJson}""")
 
-    // NOTE: this string is re-embedded in the outer stripMargin template,
-    // which would strip a line-leading "|" again — emit a leading space
-    // (markdown tables tolerate it)
+    // Multi-line table blocks are substituted into the template AFTER
+    // stripMargin via placeholder tokens: stripMargin strips any leading
+    // blanks-then-"|" from EVERY line, so interpolating "|"-leading rows
+    // (or space-"|"-leading rows) before stripping mangles all rows after
+    // the first — the defect visible in earlier committed BENCH.md tables.
     def pairMd(p: Pair): String =
-      f""" | local[${p.nLow}]  | ${p.tLow}%.2f | ${p.tpLow}%.1f | ${p.qLow}%.2f | ${p.p50Low * 1000}%.0f |
- | local[${p.nHigh}] | ${p.tHigh}%.2f | ${p.tpHigh}%.1f | ${p.qHigh}%.2f | ${p.p50High * 1000}%.0f |
+      f"""| local[${p.nLow}]  | ${p.tLow}%.2f | ${p.tpLow}%.1f | ${p.qLow}%.2f | ${p.p50Low * 1000}%.0f |
+| local[${p.nHigh}] | ${p.tHigh}%.2f | ${p.tpHigh}%.1f | ${p.qHigh}%.2f | ${p.p50High * 1000}%.0f |
 
 Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
     val runsMd = pairsA.zipWithIndex.map { case (p, i) =>
@@ -328,13 +330,13 @@ Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
          |the GC pressure); build time = min of 7 in-session builds after a
          |1/10-scale JIT warmup build (this VM shows episodic ~30-60s
          |contention windows running identical builds ~2x slow — the min
-         |over 5 lands outside them). Target: efficiency >= 0.8.
+         |over 7 lands outside them). Target: efficiency >= 0.8.
          |
          |### Primary pair: local[2] vs local[8] (${pairsA.head.docs} docs) — ${pairsA.size} consecutive protocol runs
          |
          || run | build sec @2 | build sec @8 | docs/sec @2 | docs/sec @8 | efficiency |
          || --- | --- | --- | --- | --- | --- |
-         |$runsMd
+         |@RUNS@
          |
          |Headline efficiency (pooled minimum — min build per arm across
          |all ${pairsA.size} forks x 7 builds, the same uncontended-time
@@ -347,7 +349,7 @@ Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
          |
          || parallelism | build sec | docs/sec | 40-query batch sec | single-query p50 ms |
          || --- | --- | --- | --- | --- |
-         |${pairMd(pairABest)}
+         |@PAIR_A@
          |
          |Low core counts isolate algorithmic scaling from the single
          |shared memory bus of this VM — the closer analog of adding
@@ -357,7 +359,7 @@ Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
          |
          || parallelism | build sec | docs/sec | 40-query batch sec | single-query p50 ms |
          || --- | --- | --- | --- | --- |
-         |${pairMd(pairB)}
+         |@PAIR_B@
          |
          |Caveat: at 32 cores all threads share one memory bus and the
          |hypervisor's episodic CPU steal (~3%% average, bursty) lands
@@ -368,7 +370,7 @@ Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
          |
          |## Staged pruning (block-max WAND) in its winning regime
          |
-         |${wandMd(wand, cpus)}
+         |@WAND@
          |Regimes WAND cannot win (measured in r2/r3 probes): a planted
          |unique-term query (df=1 < k) yields no θ bound; an all-stopword
          |query has no strong term; a mid-frequency term (df ≥ #blocks)
@@ -387,13 +389,21 @@ Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
          |
          || fixture | sec |
          || --- | --- |
-         |${fixtures.map { case (k, v) => f"| $k | $v%.3f |" }.mkString("\n")}
+         |@FIXTURES@
          |
          || query | sec |
          || --- | --- |
-         |${results.map { case (k, v) => f"| $k | $v%.3f |" }.mkString("\n")}
+         |@QUERIES@
          || **total** | **$total%.3f** |
          |""".stripMargin
+        .replace("@RUNS@", runsMd)
+        .replace("@PAIR_A@", pairMd(pairABest))
+        .replace("@PAIR_B@", pairMd(pairB))
+        .replace("@WAND@", wandMd(wand, cpus))
+        .replace("@FIXTURES@",
+          fixtures.map { case (k, v) => f"| $k | $v%.3f |" }.mkString("\n"))
+        .replace("@QUERIES@",
+          results.map { case (k, v) => f"| $k | $v%.3f |" }.mkString("\n"))
     Files.writeString(java.nio.file.Paths.get("/root/repo/BENCH.md"), bench)
   }
 }

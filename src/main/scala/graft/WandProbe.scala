@@ -1,10 +1,8 @@
 package graft
 import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{abs, col, count, lit, sum}
 import graft.corpus.Synthesizer
 import graft.index.IndexBuilder
-import graft.query.Bm25Search
 
 /** WAND-regime probe: measures the staged-pruning path against the full
   * decode path in the regime block-max WAND exists for (reference
@@ -49,41 +47,13 @@ object WandProbe {
       .write.mode("overwrite").parquet(pagesDir)
     IndexBuilder.build(spark, spark.read.parquet(pagesDir), dir, auditExtraction = false)
     val index = IndexBuilder.open(spark, dir)
-    import spark.implicits._
-
-    // strong term by MEASURED df: ≥ k so θ seeds, ≪ #blocks so the term
-    // is block-sparse; deterministic pick (closest to 20, term tiebreak)
-    val rare = index.termStats
-      .filter(col("df").between(12, 40) && col("term").startsWith("w"))
-      .orderBy(abs(col("df") - 20), col("term"))
-      .select(col("term"), col("df")).as[(String, Long)].head()
-    val mixed = Seq((0L, s"${rare._1} w0 w1 w2")).toDF("qid", "text").cache()
-    mixed.count()
-
-    def tmin(f: => Any): Double =
-      (1 to reps).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }.min
-    // warm both paths once (plan compile + page cache), then time
-    Bm25Search.searchPersisted(mixed, index, 10).count()
-    Bm25Search.searchPersistedWand(mixed, index, 10).count()
-    val tFull = tmin { Bm25Search.searchPersisted(mixed, index, 10).count() }
-    val tWand = tmin { Bm25Search.searchPersistedWand(mixed, index, 10).count() }
-
-    // decode-volume evidence: blocks (and encoded postings) each path decodes
-    val qterms = Bm25Search.compileQueriesLocal(mixed, index.termStats)
-    val ids = qterms.select(col("term_id")).distinct().as[Long].collect().toSeq
-    val probed = index.blocks.filter(col("term_id").isin(ids: _*))
-    val cand = Bm25Search.wandCandidateBlocks(qterms, probed, index, 10, graft.index.Bm25Params())
-    val candNos = cand.select(col("block_no")).distinct()
-    val wandProbed = probed.join(candNos, Seq("block_no"), "left_semi")
-    val (bFull, pFull) = probed.agg(count(lit(1)), sum(col("n"))).as[(Long, Long)].head()
-    val (bWand, pWand) = wandProbed.agg(count(lit(1)), sum(col("n"))).as[(Long, Long)].head()
-    println(f"WANDPROBE n=$n vocab=$vocab rare=${rare._1} df=${rare._2} " +
-      f"mixedFull=$tFull%.2f mixedWand=$tWand%.2f " +
-      f"blocksFull=$bFull blocksWand=$bWand postingsFull=$pFull postingsWand=$pWand " +
-      f"blockRatio=${bFull.toDouble / math.max(1, bWand)}%.1f " +
-      f"postingRatio=${pFull.toDouble / math.max(1, pWand)}%.1f")
+    val r = WandRegime.measure(spark, index, reps = reps)
+    println(f"WANDPROBE n=$n vocab=$vocab rare=${r.rareTerm} df=${r.rareDf} " +
+      f"mixedFull=${r.tFull}%.2f mixedWand=${r.tWand}%.2f " +
+      s"blocksFull=${r.blocksFull} blocksWand=${r.blocksWand} " +
+      s"postingsFull=${r.postingsFull} postingsWand=${r.postingsWand} " +
+      f"blockRatio=${r.blocksFull.toDouble / math.max(1, r.blocksWand)}%.1f " +
+      f"postingRatio=${r.postingsFull.toDouble / math.max(1, r.postingsWand)}%.1f")
     spark.stop()
   }
 }

@@ -3,11 +3,9 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{abs, col, count, lit, sum}
 
 import graft.corpus.Synthesizer
 import graft.index.IndexBuilder
-import graft.query.Bm25Search
 
 /** One isolated WAND-regime measurement, run in its OWN JVM by Bench:
   * `WandRegimeRunner <cpus> <nPages> <vocab>` synthesizes the web-vocab
@@ -53,7 +51,6 @@ object WandRegimeRunner {
       .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
     val pagesDir = Files.createTempDirectory("graft-wandregime-pages").toString
     val dir = Files.createTempDirectory("graft-wandregime-index").toString
     try {
@@ -62,31 +59,9 @@ object WandRegimeRunner {
       IndexBuilder.build(spark, spark.read.parquet(pagesDir), dir,
         auditExtraction = false)
       val index = IndexBuilder.open(spark, dir)
-      // strong term by MEASURED df: ≥ k so θ seeds, ≪ #blocks so the term
-      // is block-sparse; deterministic pick (closest to 20, term tiebreak)
-      val rare = index.termStats
-        .filter(col("df").between(12, 40) && col("term").startsWith("w"))
-        .orderBy(abs(col("df") - 20), col("term"))
-        .select(col("term"), col("df")).as[(String, Long)].head()
-      val mixed = Seq((0L, s"${rare._1} w0 w1 w2")).toDF("qid", "text").cache()
-      mixed.count()
-      def tmin(f: => Any): Double =
-        (1 to 3).map { _ => val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }.min
-      Bm25Search.searchPersisted(mixed, index, 10).count() // warm both plans
-      Bm25Search.searchPersistedWand(mixed, index, 10).count()
-      val tFull = tmin(Bm25Search.searchPersisted(mixed, index, 10).count())
-      val tWand = tmin(Bm25Search.searchPersistedWand(mixed, index, 10).count())
-      // decode-volume evidence: blocks/postings each path physically decodes
-      val qterms = Bm25Search.compileQueriesLocal(mixed, index.termStats)
-      val ids = qterms.select(col("term_id")).distinct().as[Long].collect().toSeq
-      val probed = index.blocks.filter(col("term_id").isin(ids: _*))
-      val cand = Bm25Search.wandCandidateBlocks(
-        qterms, probed, index, 10, graft.index.Bm25Params())
-      val candNos = cand.select(col("block_no")).distinct()
-      val (bF, pF) = probed.agg(count(lit(1)), sum(col("n"))).as[(Long, Long)].head()
-      val (bW, pW) = probed.join(candNos, Seq("block_no"), "left_semi")
-        .agg(count(lit(1)), sum(col("n"))).as[(Long, Long)].head()
-      println(f"WANDREGIME ${rare._1} ${rare._2} $tFull%.3f $tWand%.3f $bF $bW $pF $pW")
+      val r = WandRegime.measure(spark, index)
+      println(f"WANDREGIME ${r.rareTerm} ${r.rareDf} ${r.tFull}%.3f ${r.tWand}%.3f " +
+        s"${r.blocksFull} ${r.blocksWand} ${r.postingsFull} ${r.postingsWand}")
       spark.stop()
     } finally {
       Seq(dir, pagesDir).foreach(deleteRecursively)

@@ -160,15 +160,20 @@ object Bm25Index {
         termId(col("term"), p.termIdSeed).as("term_id"),
         (col("doc_id") / p.blockSpan).cast("long").as("block_no"),
         col("term"), col("doc_id"), col("tf"), col("dl"))
-      .groupBy(col("term_id"), col("block_no"))
-      // `term` rides along (one string per BLOCK group, not per posting:
-      // the map-side partial agg collapses it before the shuffle, and the
-      // sorted layout RLE/dict-encodes it in parquet) so the termstats
-      // stage can be derived from this table alone — without it, building
-      // the dictionary costs a SECOND full scan + shuffle of the postings
-      // table, the build's largest intermediate
-      .agg(first(col("term")).as("term"),
-        collect_list(struct(col("doc_id"), col("tf"), col("dl"))).as("entries"))
+      // `term` is part of the GROUP KEY, not a first() passenger: absent a
+      // collision this is the identical grouping (term determines term_id),
+      // the string still costs one copy per block group in the shuffle
+      // (map-side partial agg collapses it; the sorted layout RLE/dict-
+      // encodes it in parquet) and the termstats stage can be derived from
+      // this table alone — without it, building the dictionary costs a
+      // SECOND full scan + shuffle of the postings table, the build's
+      // largest intermediate. On a term_id collision both strings survive
+      // as separate rows, so the build-time injectivity audit over this
+      // table sees EVERY collision (a first() would erase one string when
+      // the colliding terms share all their blocks, letting a corrupt
+      // merged index pass the audit).
+      .groupBy(col("term_id"), col("block_no"), col("term"))
+      .agg(collect_list(struct(col("doc_id"), col("tf"), col("dl"))).as("entries"))
       .crossJoin(broadcast(corpusStats.select(col("avgdl"))))
       // one fused pass: sort + delta+varint + block-max (BlockEncodeExpr)
       .select(

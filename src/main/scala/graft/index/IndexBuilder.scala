@@ -83,6 +83,7 @@ object IndexBuilder {
   private def configOf(p: Bm25Params): Map[String, String] = Map(
     "k1" -> p.k1.toString, "b" -> p.b.toString,
     "block_span" -> p.blockSpan.toString,
+    "term_id_seed" -> p.termIdSeed.toString,
     "tokenizer" -> "lower;split=[^\\p{L}\\p{Nd}]+;doc_max=220;query_max=32",
     "lang_filter" -> "en", "format" -> "parquet+graft-manifest-v1")
 

@@ -56,15 +56,41 @@ object IndexUpdater {
       .agg(coalesce(max(col("doc_id")), lit(-1L))).head.getLong(0)).max
   }
 
+  /** The Bm25Params a committed index was built with, parsed back from its
+    * blocks-stage manifest config. Segments MUST be built with the base's
+    * params: a blockSpan mismatch silently breaks the dead-df block prune
+    * (block_no numbering diverges), a termIdSeed mismatch splits one term
+    * across two ids, and k1/b mismatches skew the stored WAND bounds. */
+  def paramsOf(indexDir: String): Bm25Params = {
+    val cfg = TableManifest.read(IndexBuilder.stageDir(indexDir, "blocks")).config
+    val d = Bm25Params()
+    Bm25Params(
+      k1 = cfg.get("k1").fold(d.k1)(_.toDouble),
+      b = cfg.get("b").fold(d.b)(_.toDouble),
+      blockSpan = cfg.get("block_span").fold(d.blockSpan)(_.toLong),
+      termIdSeed = cfg.get("term_id_seed").fold(d.termIdSeed)(_.toInt))
+  }
+
   /** Index `pages` as a new segment; docIds continue after the current max
     * (additions never renumber existing docs — reference invariant,
-    * index_updater.py:127-171). Returns the segment dir. */
+    * index_updater.py:127-171). Returns the segment dir.
+    *
+    * The segment is built with the BASE index's params (see [[paramsOf]]);
+    * passing the default `p` inherits them, passing an explicit non-default
+    * `p` that disagrees with the base fails fast instead of committing a
+    * segment the merged reader would mis-score. */
   def add(spark: SparkSession, indexDir: String, pages: DataFrame,
           p: Bm25Params = Bm25Params()): String = {
+    val base = paramsOf(indexDir)
+    val seg = if (p == Bm25Params()) base else p
+    require(seg == base,
+      s"segment params $seg differ from the base index's $base — mixed-param " +
+        "segments are unsupported (block numbering, term ids and WAND bounds " +
+        "would diverge); omit p to inherit the base's params")
     val segId = segmentDirs(indexDir).size
     val segDir = s"${updatesDir(indexDir)}/seg-$segId"
     val offset = maxDocId(spark, indexDir) + 1
-    IndexBuilder.build(spark, pages, segDir, p, docIdOffset = offset)
+    IndexBuilder.build(spark, pages, segDir, seg, docIdOffset = offset)
     segDir
   }
 
@@ -193,12 +219,20 @@ object IndexUpdater {
       case Some(t) =>
         // block-metadata prune BEFORE decoding: a dead doc can only live
         // in block_no = doc_id/blockSpan, so blocks outside the tombstone
-        // set's block range are never even decoded. The span comes from
-        // the build's own manifest config (not an assumed default).
-        val span = TableManifest.read(IndexBuilder.stageDir(indexDir, "blocks"))
-          .config.getOrElse("block_span", Bm25Params().blockSpan.toString).toLong
-        val deadBlockNos = t.df
-          .select((col("doc_id") / span).cast("long").as("block_no"))
+        // set's block range are never even decoded. Spans come from each
+        // dir's OWN manifest config and the candidate set is the union
+        // over the distinct spans — add() enforces one span per index, but
+        // if spans ever diverged, a single-span prune would silently skip
+        // dead docs in differently-numbered segment blocks (df overcount);
+        // the union only over-includes, and the exact doc_id intersect
+        // below keeps the result precise.
+        val spans = allDirs.map(d =>
+          TableManifest.read(IndexBuilder.stageDir(d, "blocks"))
+            .config.getOrElse("block_span", Bm25Params().blockSpan.toString).toLong)
+          .distinct
+        val deadBlockNos = spans.map(span => t.df
+            .select((col("doc_id") / span).cast("long").as("block_no")))
+          .reduce(_ unionByName _)
           .distinct()
         val candidate = blocks.join(
           if (t.rows <= Tombstones.BroadcastMaxRows) broadcast(deadBlockNos)

@@ -126,12 +126,17 @@ object Similarity {
     * — share ONE trained model across operators (see [[saveIvf]] and the
     * session cache in SparkEntry) instead of retraining per query. */
   def trainedIvf(emb: DataFrame): (DataFrame, DataFrame) = {
+    val refined = trainCentroids(emb)
+    (refined, assign(emb, refined))
+  }
+
+  /** The sample-trained centroid half of [[trainedIvf]] (k-row result). */
+  def trainCentroids(emb: DataFrame): DataFrame = {
     val n = emb.count()
     val k = kForCorpus(n)
     val step = math.max(1L, n / k)
     val sample = emb.filter(col("vec_id") % sampleStepFor(n, k) === 0)
-    val refined = meanCentroids(assign(sample, seedCentroids(emb, step)))
-    (refined, assign(emb, refined))
+    meanCentroids(assign(sample, seedCentroids(emb, step)))
   }
 
   /** Persist a trained model as index tables (the analog of the
@@ -141,12 +146,16 @@ object Similarity {
   def saveIvf(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
               dir: String): Unit = {
     import graft.catalog.TableManifest
-    val (centroids, assigned) = trainedIvf(emb)
-    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    // write the trained centroids FIRST, then derive the assignment from
+    // the PERSISTED table: the assignment's lazy plan would otherwise
+    // embed the unpersisted training chain and re-execute the whole
+    // sample+Lloyd pipeline a second time for the second write
+    trainCentroids(emb).write.mode("overwrite").parquet(s"$dir/centroids")
     val cl = TableManifest.lineageOf(spark, s"$dir/centroids")
     TableManifest.commit(s"$dir/centroids",
       TableManifest("ivf_centroids", 0L, cl.map(_.rows).sum, cl, Map.empty))
-    assigned.write.mode("overwrite").parquet(s"$dir/assignment")
+    assign(emb, spark.read.parquet(s"$dir/centroids"))
+      .write.mode("overwrite").parquet(s"$dir/assignment")
     val al = TableManifest.lineageOf(spark, s"$dir/assignment")
     TableManifest.commit(s"$dir/assignment",
       TableManifest("ivf_assignment", cl.map(_.rows).sum, al.map(_.rows).sum, al, Map.empty))

@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -113,18 +113,40 @@ object Bm25Search {
                     p: Bm25Params = Bm25Params()): DataFrame =
     searchFull(queries, index, k, p)
 
+  /** Largest query batch the driver-compiled paths ([[searchPersisted]],
+    * [[searchWand]]) accept before falling back to the fully distributed
+    * plan: the In-filter/route compile collects the batch to the driver —
+    * bounded metadata at serving/interactive sizes, but a 10^6-query
+    * analytics batch must not serialize through the driver, and an In
+    * list of millions of term ids would defeat the scan pushdown it
+    * exists to enable. */
+  val MaxDriverCompileQueries = 4096
+
+  /** The batch's (qid, text) rows if it is driver-compile sized, else
+    * None — ONE limit-pushed job either way. */
+  private def collectBatch(queries: DataFrame): Option[Seq[(Long, String)]] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val rows = queries.select(col("qid").cast("long"), col("text"))
+      .as[(Long, String)].limit(MaxDriverCompileQueries + 1).collect()
+    if (rows.length > MaxDriverCompileQueries) None else Some(rows.toSeq)
+  }
+
+  private def tokenizeRows(rows: Seq[(Long, String)]): Seq[(Long, String, Int)] =
+    rows.flatMap { case (qid, text) =>
+      Tokenizer.tokenize(text, Tokenizer.QueryMaxTerms)
+        .groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (t, occ) => (qid, t, occ.length) }
+    }
+
   /** Driver-side tokenize + multiplicity count of a query batch:
     * (qid, term, qtf) triples via the SAME scanner the Catalyst
     * expression calls (property-tested identical) — zero Spark jobs. */
   def tokenizeQueriesDriver(queries: DataFrame): Seq[(Long, String, Int)] = {
     val spark = queries.sparkSession
     import spark.implicits._
-    queries.select(col("qid").cast("long"), col("text")).as[(Long, String)]
-      .collect().toSeq.flatMap { case (qid, text) =>
-        Tokenizer.tokenize(text, Tokenizer.QueryMaxTerms)
-          .groupBy(identity).toSeq.sortBy(_._1)
-          .map { case (t, occ) => (qid, t, occ.length) }
-      }
+    tokenizeRows(queries.select(col("qid").cast("long"), col("text"))
+      .as[(Long, String)].collect().toSeq)
   }
 
   /** (term → (term_id, idf, df)) for the given terms — ONE isin-filtered
@@ -146,10 +168,13 @@ object Bm25Search {
     * 3 dictionary jobs × 32 tasks of scheduling overhead per single
     * query). The reference equivalently resolves query tokens against its
     * in-memory vocab map once per query (searcher.py:80-95). */
-  def compileQueriesLocal(queries: DataFrame, termStats: DataFrame): DataFrame = {
-    val spark = queries.sparkSession
+  def compileQueriesLocal(queries: DataFrame, termStats: DataFrame): DataFrame =
+    compileRowsLocal(queries.sparkSession, tokenizeQueriesDriver(queries), termStats)
+
+  private def compileRowsLocal(spark: SparkSession,
+                               counts: Seq[(Long, String, Int)],
+                               termStats: DataFrame): DataFrame = {
     import spark.implicits._
-    val counts = tokenizeQueriesDriver(queries)
     val dict = lookupTerms(counts.map(_._2).distinct, termStats)
     counts.flatMap { case (qid, t, qtf) =>
       dict.get(t).map { case (id, idf, df) => (qid, t, qtf, id, idf, df) }
@@ -163,10 +188,22 @@ object Bm25Search {
     * nearly every non-probed row group — the physical analog of the
     * reference's IVF lookup touching only probed centroids
     * (colbert/search/candidate_generation.py:22-37). Returns the same rows
-    * as [[searchFull]] on the unfiltered index. */
+    * as [[searchFull]] on the unfiltered index.
+    *
+    * Batches over [[MaxDriverCompileQueries]] fall back to the fully
+    * distributed [[searchFull]] plan (identical rows): a corpus-scale
+    * query batch must not serialize through the driver, and with that
+    * many distinct terms the In-filter would keep every row group
+    * anyway. */
   def searchPersisted(queries: DataFrame, index: Bm25IndexTables, k: Int,
                       p: Bm25Params = Bm25Params()): DataFrame =
-    searchPersistedCompiled(compileQueriesLocal(queries, index.termStats), index, k, p)
+    collectBatch(queries) match {
+      case Some(rows) =>
+        searchPersistedCompiled(
+          compileRowsLocal(queries.sparkSession, tokenizeRows(rows), index.termStats),
+          index, k, p)
+      case None => searchFull(queries, index, k, p)
+    }
 
   /** [[searchPersisted]] from an already-compiled local qterms frame
     * (serving sessions compile through their own term cache). The isin
@@ -186,8 +223,13 @@ object Bm25Search {
     * results as [[searchWand]]). */
   def searchPersistedWand(queries: DataFrame, index: Bm25IndexTables, k: Int,
                           p: Bm25Params = Bm25Params()): DataFrame =
-    routeWand(compileQueriesLocal(queries, index.termStats), index, k, p,
-      persisted = true)
+    collectBatch(queries) match {
+      case Some(rows) =>
+        routeWand(
+          compileRowsLocal(queries.sparkSession, tokenizeRows(rows), index.termStats),
+          index, k, p, persisted = true)
+      case None => searchFull(queries, index, k, p) // see searchWand
+    }
 
   /** FLIPR-analog scoring (reference's experimental flipr reduce sums only
     * the top-K1 per-token maxima instead of all of them,
@@ -342,8 +384,17 @@ object Bm25Search {
     */
   def searchWand(queries: DataFrame, index: Bm25IndexTables, k: Int,
                  p: Bm25Params = Bm25Params()): DataFrame =
-    routeWand(compileQueriesLocal(queries, index.termStats), index, k, p,
-      persisted = false)
+    collectBatch(queries) match {
+      case Some(rows) =>
+        routeWand(
+          compileRowsLocal(queries.sparkSession, tokenizeRows(rows), index.termStats),
+          index, k, p, persisted = false)
+      // over MaxDriverCompileQueries the per-qid route can't run on the
+      // driver; the one-pass full plan returns identical rows (WAND ≡ full
+      // is property-tested), and at that many distinct terms the batch
+      // probes essentially every block, so pruning had nothing to win
+      case None => searchFull(queries, index, k, p)
+    }
 
   /** Adaptive strategy choice per QUERY, decided from compile-time
     * metadata alone: WAND's bound stages can only pay off when at least

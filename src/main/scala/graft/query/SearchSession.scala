@@ -36,14 +36,22 @@ final class SearchSession private (spark: SparkSession, val index: Bm25IndexTabl
   def search(queries: DataFrame, k: Int, p: Bm25Params = Bm25Params()): DataFrame = {
     import spark.implicits._
     val counts = Bm25Search.tokenizeQueriesDriver(queries)
-    val missing = counts.map(_._2).distinct.filterNot(termDict.contains)
-    if (missing.nonEmpty) {
-      val found = Bm25Search.lookupTerms(missing, index.termStats)
-      if (termDict.size + missing.size > MaxDictEntries) termDict.clear()
-      missing.foreach(t => termDict.put(t, found.get(t)))
-    }
+    // resolve through a LOCAL snapshot: the shared dict may be wiped (by
+    // this call's own overflow handling or a concurrent one) between the
+    // lookup and the use, so the query must never read the shared map twice
+    val terms = counts.map(_._2).distinct
+    val fromCache = terms.flatMap(t => termDict.get(t).map(t -> _)).toMap
+    val missing = terms.filterNot(fromCache.contains)
+    val resolved =
+      if (missing.isEmpty) fromCache
+      else {
+        val found = Bm25Search.lookupTerms(missing, index.termStats)
+        if (termDict.size + missing.size > MaxDictEntries) termDict.clear()
+        missing.foreach(t => termDict.put(t, found.get(t)))
+        fromCache ++ missing.map(t => t -> found.get(t))
+      }
     val qterms = counts.flatMap { case (qid, t, qtf) =>
-      termDict(t).map { case (id, idf, df) => (qid, t, qtf, id, idf, df) }
+      resolved(t).map { case (id, idf, df) => (qid, t, qtf, id, idf, df) }
     }.toDF("qid", "term", "qtf", "term_id", "idf", "df")
     Bm25Search.searchPersistedCompiled(qterms, index, k, p)
   }
@@ -152,6 +160,20 @@ object SearchSession {
           math.max(8, spark.sparkContext.defaultParallelism / 4).toString)
         prev
       }
+    // a failed open must not leak the serving confs into the caller's
+    // session (no SearchSession exists afterwards to close())
+    def restore(): Unit = saved.foreach { case (key, v) =>
+      v match {
+        case Some(value) => spark.conf.set(key, value)
+        case None => spark.conf.unset(key)
+      }
+    }
+    try openWith(spark, indexDir, saved)
+    catch { case e: Throwable => restore(); throw e }
+  }
+
+  private def openWith(spark: SparkSession, indexDir: String,
+                       saved: Map[String, Option[String]]): SearchSession = {
     val idx = IndexUpdater.openMerged(spark, indexDir)
     // dictionary + stats are point-lookup tables in the hot path: cache
     // them in FEW partitions so the per-query compile job schedules 4
