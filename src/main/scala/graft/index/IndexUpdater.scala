@@ -98,13 +98,34 @@ object IndexUpdater {
     * old ∪ new is a DataFrame union-distinct written to a temp dir, then
     * atomically swapped in — the tombstone set never passes through the
     * driver (it is unbounded at web scale: a whole-crawl retraction can
-    * tombstone 10^9 docs). */
+    * tombstone 10^9 docs).
+    *
+    * Each dead doc's dl is resolved HERE (one narrow docs scan per
+    * removal batch, inner join — ids that match no live doc are no-ops
+    * and drop out) and stored on the tombstone row, so every subsequent
+    * [[openMerged]] subtracts corpus stats from the deletion-sized
+    * tombstone table alone instead of rescanning the docs tables per
+    * open. Ids are never reused (additions continue past the global max,
+    * tombstoned docs included), so a dl resolved at remove time stays
+    * correct forever. */
   def remove(spark: SparkSession, indexDir: String, docIds: DataFrame): Unit = {
     val dir = tombDir(indexDir)
+    val docsDl = (indexDir +: segmentDirs(indexDir))
+      .map(d => spark.read.parquet(IndexBuilder.stageDir(d, "docs"))
+        .select(col("doc_id"), col("dl")))
+      .reduce(_ unionByName _)
     val incoming = docIds.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct()
+      .join(docsDl, Seq("doc_id"), "inner")
     val all =
-      if (TableManifest.exists(dir)) spark.read.parquet(dir).unionByName(incoming).distinct()
-      else incoming.distinct()
+      if (TableManifest.exists(dir)) {
+        val prev = spark.read.parquet(dir)
+        // migrate a pre-dl tombstone table by re-resolving it once
+        val prevDl =
+          if (prev.columns.contains("dl")) prev
+          else prev.select(col("doc_id")).join(docsDl, Seq("doc_id"), "inner")
+        prevDl.unionByName(incoming).distinct()
+      } else incoming.distinct()
     // write beside, then swap: overwriting the directory would race its
     // own lazy-scanned input
     val tmp = s"$dir.tmp-${System.nanoTime()}"
@@ -181,6 +202,17 @@ object IndexUpdater {
           .reduce(_ unionByName _)
           .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
         val liveTotals = tombs match {
+          // dl stored on the tombstone rows at remove() time: the dead
+          // totals aggregate the DELETION-sized tombstone table alone —
+          // no docs scan per open
+          case Some(t) if t.df.columns.contains("dl") =>
+            val dead = t.df
+              .agg(count(lit(1)).as("dead_n"),
+                coalesce(sum(col("dl")), lit(0L)).as("dead_dl"))
+            totals.crossJoin(dead)
+              .select((col("n_docs") - col("dead_n")).as("n_docs"),
+                (col("sum_dl") - col("dead_dl")).as("sum_dl"))
+          // pre-dl tombstone table: resolve dl with a narrow docs scan
           case Some(t) =>
             val docsDl = allDirs
               .map(d => spark.read.parquet(IndexBuilder.stageDir(d, "docs"))

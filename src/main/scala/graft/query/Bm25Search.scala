@@ -123,13 +123,15 @@ object Bm25Search {
   val MaxDriverCompileQueries = 4096
 
   /** The batch's (qid, text) rows if it is driver-compile sized, else
-    * None — ONE limit-pushed job either way. */
-  private def collectBatch(queries: DataFrame): Option[Seq[(Long, String)]] = {
+    * None — ONE limit-pushed job either way. `cap` is overridable only so
+    * tests can exercise the fallback without a 4096-query fixture. */
+  private[query] def collectBatch(queries: DataFrame,
+                                  cap: Int = MaxDriverCompileQueries): Option[Seq[(Long, String)]] = {
     val spark = queries.sparkSession
     import spark.implicits._
     val rows = queries.select(col("qid").cast("long"), col("text"))
-      .as[(Long, String)].limit(MaxDriverCompileQueries + 1).collect()
-    if (rows.length > MaxDriverCompileQueries) None else Some(rows.toSeq)
+      .as[(Long, String)].limit(cap + 1).collect()
+    if (rows.length > cap) None else Some(rows.toSeq)
   }
 
   private def tokenizeRows(rows: Seq[(Long, String)]): Seq[(Long, String, Int)] =
@@ -448,11 +450,31 @@ object Bm25Search {
     * four re-plans of the dictionary join (a previous version cached the
     * distributed qterms here and leaked the cache; a LocalRelation needs
     * no cache at all). */
-  private def searchWandCompiled(qterms: DataFrame, index: Bm25IndexTables, k: Int,
-                                 p: Bm25Params): DataFrame = {
+  /** Candidate sets up to this size are materialized into a LocalRelation
+    * (16 B/row → ≤ ~16 MB broadcast); larger ones stay a lazy plan. */
+  private val MaxLocalCandidateBlocks = 1000000
+
+  private[graft] def searchWandCompiled(qterms: DataFrame, index: Bm25IndexTables, k: Int,
+                                        p: Bm25Params): DataFrame = {
+    val spark = qterms.sparkSession
+    import spark.implicits._
     val qtermsOnly = broadcast(qterms.select(col("term_id")).distinct())
     val probed = index.blocks.join(qtermsOnly, "term_id")
-    val candBlocks = wandCandidateBlocks(qterms, probed, index, k, p)
+    // Materialize the candidate set ONCE: the stage-C plan consumes it
+    // TWICE (block_no semi-join for the decode + the per-qid survival
+    // filter), and as a lazy subtree each use would re-run stages A+B —
+    // measured 4× the whole-query cost once the full path got fast enough
+    // for the recompute to dominate. Serving-sized candidate sets become a
+    // LocalRelation (broadcast-ready literal rows); a web-scale candidate
+    // flood past the cap falls back to the lazy plan rather than the
+    // driver's memory.
+    val candLazy = wandCandidateBlocks(qterms, probed, index, k, p)
+    val candRows = candLazy.select(col("qid"), col("block_no"))
+      .as[(Long, Long)].limit(MaxLocalCandidateBlocks + 1).collect()
+    val candBlocks =
+      if (candRows.length <= MaxLocalCandidateBlocks)
+        candRows.toSeq.toDF("qid", "block_no")
+      else candLazy
 
     // Stage C: decode ONLY surviving blocks, score exactly, and drop
     // (qid, block) pairs that did not survive for THAT qid; top-k. A true
@@ -477,6 +499,8 @@ object Bm25Search {
   private[graft] def wandCandidateBlocks(qterms: DataFrame, probed: DataFrame,
                                          index: Bm25IndexTables, k: Int,
                                          p: Bm25Params): DataFrame = {
+    val spark = qterms.sparkSession
+    import spark.implicits._
     // Stage A: θ per qid from the rarest (max-idf, term-asc tiebreak)
     // term, scored over at most the term's first ThetaBlocks posting
     // blocks. Subset-of-terms × subset-of-docs scoring can only
@@ -486,6 +510,11 @@ object Bm25Search {
     // stopword posting list just to seed θ; the block-prefix window runs
     // on metadata rows only. θ selection uses the bounded-heap
     // aggregator — no per-qid global sort of the sampled scores.
+    //
+    // θ is COLLECTED (≤ one row per qid — bounded by the driver-compile
+    // cap): as a lazy subtree it was consumed by stage B's split AND the
+    // final bound filter, re-running the θ decode per use; as driver rows
+    // it is computed exactly once and every consumer gets literal values.
     val wRare = Window.partitionBy(col("qid")).orderBy(col("idf").desc, col("term").asc)
     val rarest = qterms
       .withColumn("rn", row_number().over(wRare))
@@ -498,24 +527,37 @@ object Bm25Search {
       .filter(col("brn") <= ThetaBlocks)
       .drop("brn")
     val rareScores = scores(hits(rarest, index.decode(rareCapped), index.corpusStats, p))
-    val theta = TopKAggregator.topK(rareScores, k)
+    val theta: Map[Long, Double] = TopKAggregator.topK(rareScores, k)
       .filter(col("rank") === k)
-      .select(col("qid"), col("score").as("theta"))
+      .select(col("qid"), col("score"))
+      .as[(Long, Double)].collect().toMap
 
     // Stage B: weak/strong term split per qid (ascending max-contribution
-    // prefix below θ is weak), then upper bounds from STRONG terms only.
-    val wCum = Window.partitionBy(col("qid"))
-      .orderBy(col("mc").asc, col("term").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val qtermsSplit = qterms
-      .withColumn("mc", col("qtf") * col("idf") * lit(p.k1 + 1.0))
-      .join(theta, Seq("qid"), "left")
-      .withColumn("cum", sum(col("mc")).over(wCum))
-      .withColumn("weak", col("theta").isNotNull && col("cum") < col("theta"))
-    val weakSum = qtermsSplit.filter(col("weak"))
-      .groupBy(col("qid")).agg(sum(col("mc")).as("weak_sum"))
-    val strong = qtermsSplit.filter(!col("weak"))
-      .select(col("qid"), col("term_id"), col("qtf"), col("idf"))
+    // prefix below θ is weak) — plain driver arithmetic over the compiled
+    // qterms rows (a LocalRelation in every caller) in the SAME
+    // (mc asc, term asc) order and left-to-right summation the former
+    // window computed, so the split is value-identical.
+    val qRows = qterms.select(col("qid"), col("term"), col("qtf"), col("term_id"),
+      col("idf")).as[(Long, String, Int, Long, Double)].collect()
+    val byQid = qRows.groupBy(_._1)
+    val strongRows = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Double)]()
+    val weakSum = scala.collection.mutable.Map[Long, Double]()
+    byQid.foreach { case (qid, rs) =>
+      val th = theta.get(qid)
+      var cum = 0.0
+      rs.map { case (_, term, qtf, termId, idf) =>
+        (term, qtf, termId, idf, qtf * idf * (p.k1 + 1.0))
+      }.sortBy { case (term, _, _, _, mc) => (mc, term) }
+        .foreach { case (_, qtf, termId, idf, mc) =>
+          cum += mc
+          if (th.exists(cum < _)) weakSum.update(qid, weakSum.getOrElse(qid, 0.0) + mc)
+          else strongRows += ((qid, termId, qtf, idf))
+        }
+    }
+    val strong = strongRows.toSeq.toDF("qid", "term_id", "qtf", "idf")
+    val bounds = byQid.keys.map(q =>
+      (q, weakSum.getOrElse(q, 0.0), theta.get(q))).toSeq
+      .toDF("qid", "weak_sum", "theta")
 
     // Bounds at BLOCK granularity: every doc lives in exactly one block
     // (block_no = doc_id/blockSpan), so Σ over strong terms of that
@@ -528,8 +570,7 @@ object Bm25Search {
       .join(broadcast(strong), "term_id")
       .groupBy(col("qid"), col("block_no"))
       .agg(sum(col("qtf") * col("idf") * col("bmax")).as("ub"))
-      .join(broadcast(weakSum), Seq("qid"), "left")
-      .join(broadcast(theta), Seq("qid"), "left")
+      .join(broadcast(bounds), Seq("qid"), "left")
       .filter(col("theta").isNull ||
         (col("ub") + coalesce(col("weak_sum"), lit(0.0))) >= col("theta"))
       .select(col("qid"), col("block_no"))

@@ -135,6 +135,36 @@ class IndexUpdaterSpec extends AnyFunSuite {
       "incremental merged termstats differ from fresh-rebuild aggregation")
   }
 
+  test("tombstones carry resolved dl; unknown ids are no-ops; param mismatch rejected") {
+    val dir = tmp()
+    IndexBuilder.build(spark, basePages, dir)
+    val docs = spark.read.parquet(IndexBuilder.stageDir(dir, "docs"))
+    val wantDl = docs.filter(col("doc_id").isin(4L, 9L))
+      .select(col("doc_id"), col("dl")).as[(Long, Int)].collect().toMap
+
+    // 999999 matches no doc — it must drop out instead of polluting stats
+    IndexUpdater.remove(spark, dir, Seq(4L, 9L, 999999L))
+    val tomb = spark.read.parquet(s"$dir/updates/tombstones")
+    assert(tomb.columns.toSet == Set("doc_id", "dl"),
+      "tombstone rows must carry the dead doc's dl (resolved at remove time)")
+    assert(tomb.select(col("doc_id"), col("dl")).as[(Long, Int)].collect().toMap == wantDl)
+
+    // merged corpus stats derive from the tombstone table alone and must
+    // equal a direct aggregation over the live docs
+    val merged = IndexUpdater.openMerged(spark, dir)
+    val got = merged.corpusStats.select(col("n_docs"), col("sum_dl"))
+      .as[(Long, Long)].head()
+    val want = docs.filter(!col("doc_id").isin(4L, 9L))
+      .agg(count(lit(1)), sum(col("dl"))).as[(Long, Long)].head()
+    assert(got == want, "merged (n_docs, sum_dl) differ from live-docs aggregation")
+
+    // a segment built with different params would silently diverge block
+    // numbering / term ids / WAND bounds — add() must fail fast
+    intercept[IllegalArgumentException] {
+      IndexUpdater.add(spark, dir, extraPages, Bm25Params(blockSpan = 16))
+    }
+  }
+
   test("compaction preserves results and clears the need for merge overhead") {
     val dir = tmp()
     IndexBuilder.build(spark, basePages, dir)

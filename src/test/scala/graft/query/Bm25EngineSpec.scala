@@ -142,6 +142,22 @@ class Bm25EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("oversized batches skip the driver compile; fallback rows ≡ driver-compiled rows") {
+    // collectBatch is the size gate for searchPersisted/searchWand: over
+    // the cap it must return None (→ the fully distributed plan), under
+    // it the exact rows. Exercised with a tiny cap so the test needs no
+    // 4096-query fixture.
+    assert(Bm25Search.collectBatch(queriesDf, cap = 5).isEmpty)
+    val got = Bm25Search.collectBatch(queriesDf, cap = queriesLocal.size)
+    assert(got.map(_.toSet).contains(queriesLocal.toSet))
+    // both branches of the persisted path produce identical rankings:
+    // searchFull IS the >cap fallback target
+    val index = Bm25IndexTables.fromDocs(docsWithIds)
+    val viaPersisted = collectRanking(Bm25Search.searchPersisted(queriesDf, index, K))
+    val viaFull = collectRanking(Bm25Search.searchFull(queriesDf, index, K))
+    assert(viaPersisted == viaFull)
+  }
+
   test("randomized corpora: WAND ≡ full across 5 seeds (pruning never drops a top-k doc)") {
     // blockSpan 8 over 150 docs → ~19 blocks, so the router genuinely
     // splits sparse-term queries onto the WAND path per corpus
