@@ -217,7 +217,7 @@ object Bm25Search {
                               p: Bm25Params = Bm25Params()): DataFrame = {
     val ids = qterms.select(col("term_id")).collect().map(_.getLong(0)).distinct.toSeq
     val decoded = index.decode(index.blocks.filter(col("term_id").isin(ids: _*)))
-    topK(scores(hits(qterms, decoded, index.corpusStats, p)), k)
+    topK(scores(hits(qterms, decoded, index.corpusStatsLocal, p)), k)
   }
 
   /** WAND over a persisted index with the query-term In-filter pushed to
@@ -417,9 +417,7 @@ object Bm25Search {
     val rows = qterms.select(col("qid"), col("term"), col("qtf"), col("term_id"),
       col("idf"), col("df")).as[(Long, String, Int, Long, Double, Long)].collect()
     if (rows.isEmpty) return fullPath(qterms, index, k, p, persisted)
-    val nBlocks = math.max(1L,
-      (index.corpusStats.select(col("n_docs")).head.getLong(0) + p.blockSpan - 1)
-        / p.blockSpan)
+    val nBlocks = math.max(1L, (index.nDocs + p.blockSpan - 1) / p.blockSpan)
     val minDf = rows.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._6).min }
     val (wandRows, fullRows) = rows.partition(r => 2L * minDf(r._1) < nBlocks)
     def frame(rs: Array[(Long, String, Int, Long, Double, Long)]) =
@@ -454,12 +452,21 @@ object Bm25Search {
     * (16 B/row → ≤ ~16 MB broadcast); larger ones stay a lazy plan. */
   private val MaxLocalCandidateBlocks = 1000000
 
+  /** `maxLocalCand` is overridable only so tests can exercise the lazy
+    * >cap fallback without a million-block fixture. */
   private[graft] def searchWandCompiled(qterms: DataFrame, index: Bm25IndexTables, k: Int,
-                                        p: Bm25Params): DataFrame = {
+                                        p: Bm25Params,
+                                        maxLocalCand: Int = MaxLocalCandidateBlocks): DataFrame = {
     val spark = qterms.sparkSession
     import spark.implicits._
-    val qtermsOnly = broadcast(qterms.select(col("term_id")).distinct())
-    val probed = index.blocks.join(qtermsOnly, "term_id")
+    // The term probe is an In-filter built from the compiled (local)
+    // qterms rows, NOT a semi-join: `qterms.distinct()` is an Aggregate
+    // over a LocalRelation that Catalyst cannot collapse, so every action
+    // consuming the probe re-ran a 2-stage shuffle job just to rebuild
+    // the same tiny broadcast (3 actions × job + broadcast per call). The
+    // In-filter also pushes into the parquet scan on the persisted path.
+    val ids = qterms.select(col("term_id")).collect().map(_.getLong(0)).distinct.toSeq
+    val probed = index.blocks.filter(col("term_id").isin(ids: _*))
     // Materialize the candidate set ONCE: the stage-C plan consumes it
     // TWICE (block_no semi-join for the decode + the per-qid survival
     // filter), and as a lazy subtree each use would re-run stages A+B —
@@ -470,21 +477,25 @@ object Bm25Search {
     // driver's memory.
     val candLazy = wandCandidateBlocks(qterms, probed, index, k, p)
     val candRows = candLazy.select(col("qid"), col("block_no"))
-      .as[(Long, Long)].limit(MaxLocalCandidateBlocks + 1).collect()
+      .as[(Long, Long)].limit(maxLocalCand + 1).collect()
+    val local = candRows.length <= maxLocalCand
     val candBlocks =
-      if (candRows.length <= MaxLocalCandidateBlocks)
-        candRows.toSeq.toDF("qid", "block_no")
+      if (local) candRows.toSeq.toDF("qid", "block_no")
       else candLazy
 
     // Stage C: decode ONLY surviving blocks, score exactly, and drop
     // (qid, block) pairs that did not survive for THAT qid; top-k. A true
     // top-k doc always survives: score(d) ≤ ub(qid, block(d)) and
-    // score(d) ≥ θ.
-    val candBlockNos = candBlocks.select(col("block_no")).distinct()
+    // score(d) ≥ θ. With a driver-local candidate set the distinct block
+    // list is plain driver dedup (an Aggregate-over-LocalRelation would
+    // shuffle); the >cap fallback keeps the distributed distinct.
+    val candBlockNos =
+      if (local) broadcast(candRows.map(_._2).distinct.toSeq.toDF("block_no"))
+      else candBlocks.select(col("block_no")).distinct()
     val decoded = index.decode(
       probed.join(candBlockNos, Seq("block_no"), "left_semi"))
     val exact = scores(
-      hits(qterms, decoded, index.corpusStats, p)
+      hits(qterms, decoded, index.corpusStatsLocal, p)
         .withColumn("block_no", (col("doc_id") / p.blockSpan).cast("long"))
         .join(candBlocks, Seq("qid", "block_no"), "left_semi")
         .drop("block_no"))
@@ -515,18 +526,26 @@ object Bm25Search {
     // cap): as a lazy subtree it was consumed by stage B's split AND the
     // final bound filter, re-running the θ decode per use; as driver rows
     // it is computed exactly once and every consumer gets literal values.
-    val wRare = Window.partitionBy(col("qid")).orderBy(col("idf").desc, col("term").asc)
-    val rarest = qterms
-      .withColumn("rn", row_number().over(wRare))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    //
+    // The rarest-term pick (max idf, term-asc tiebreak — the former
+    // per-qid row_number window) is plain driver arithmetic over the
+    // compiled local qterms rows: a window over a LocalRelation still
+    // shuffles, and its `.distinct()` broadcast re-ran an aggregate job
+    // per consuming action.
+    val qRows = qterms.select(col("qid"), col("term"), col("qtf"), col("term_id"),
+      col("idf")).as[(Long, String, Int, Long, Double)].collect()
+    val byQid = qRows.groupBy(_._1)
+    val rarestRows = byQid.values.map(rs =>
+      rs.minBy { case (_, term, _, _, idf) => (-idf, term) }).toSeq
+    val rarestIds = rarestRows.map(_._4).distinct
+    val rarest = rarestRows.toDF("qid", "term", "qtf", "term_id", "idf")
     val wBlk = Window.partitionBy(col("term_id")).orderBy(col("block_no").asc)
-    val rareCapped = index.blocks
-      .join(broadcast(rarest.select(col("term_id")).distinct()), "term_id")
+    val rareCapped = probed
+      .filter(col("term_id").isin(rarestIds: _*))
       .withColumn("brn", row_number().over(wBlk))
       .filter(col("brn") <= ThetaBlocks)
       .drop("brn")
-    val rareScores = scores(hits(rarest, index.decode(rareCapped), index.corpusStats, p))
+    val rareScores = scores(hits(rarest, index.decode(rareCapped), index.corpusStatsLocal, p))
     val theta: Map[Long, Double] = TopKAggregator.topK(rareScores, k)
       .filter(col("rank") === k)
       .select(col("qid"), col("score"))
@@ -534,12 +553,9 @@ object Bm25Search {
 
     // Stage B: weak/strong term split per qid (ascending max-contribution
     // prefix below θ is weak) — plain driver arithmetic over the compiled
-    // qterms rows (a LocalRelation in every caller) in the SAME
-    // (mc asc, term asc) order and left-to-right summation the former
-    // window computed, so the split is value-identical.
-    val qRows = qterms.select(col("qid"), col("term"), col("qtf"), col("term_id"),
-      col("idf")).as[(Long, String, Int, Long, Double)].collect()
-    val byQid = qRows.groupBy(_._1)
+    // qterms rows in the SAME (mc asc, term asc) order and left-to-right
+    // summation the former window computed, so the split is
+    // value-identical.
     val strongRows = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Double)]()
     val weakSum = scala.collection.mutable.Map[Long, Double]()
     byQid.foreach { case (qid, rs) =>
@@ -564,12 +580,22 @@ object Bm25Search {
     // block's max contribution upper-bounds every doc in it — computed
     // from block METADATA alone, no posting is decoded in stage B
     // (blockSpan× fewer rows than the per-doc bound it replaces).
+    // ub summed in canonical term order (sort_array + fold, like
+    // [[scores]]): the >cap fallback path consumes this frame TWICE (the
+    // decode semi-join and the survival filter), and a partition-order-
+    // dependent float sum could flip a block exactly at the θ boundary
+    // between the two evaluations — surviving the filter while its
+    // postings were never decoded. Canonical order makes both
+    // evaluations bit-identical. ≤32 terms per (qid, block) → O(1)/row.
     probed
       .select(col("term_id"), col("block_no"),
         (col("block_max_tfnorm") * lit(index.wandBoundScale)).as("bmax"))
       .join(broadcast(strong), "term_id")
       .groupBy(col("qid"), col("block_no"))
-      .agg(sum(col("qtf") * col("idf") * col("bmax")).as("ub"))
+      .agg(sort_array(collect_list(struct(col("term_id"),
+        (col("qtf") * col("idf") * col("bmax")).as("c")))).as("cs"))
+      .select(col("qid"), col("block_no"),
+        expr("aggregate(cs, 0d, (acc, x) -> acc + x.c)").as("ub"))
       .join(broadcast(bounds), Seq("qid"), "left")
       .filter(col("theta").isNull ||
         (col("ub") + coalesce(col("weak_sum"), lit(0.0))) >= col("theta"))
@@ -631,6 +657,21 @@ case class Bm25IndexTables(
     corpusStats: DataFrame,
     tombstones: Option[Tombstones] = None,
     wandBoundScale: Double = 1.0) {
+
+  /** corpusStats as a one-row LocalRelation, collected once per index
+    * instance: the hot query paths crossJoin-broadcast the corpus stats
+    * inside EVERY action, and for a persisted index each such broadcast
+    * re-ran a parquet scan job. The value cannot change under an open
+    * index (updates swap in a new instance). */
+  lazy val corpusStatsLocal: DataFrame = {
+    val spark = corpusStats.sparkSession
+    spark.createDataFrame(
+      java.util.Arrays.asList(corpusStats.collect(): _*), corpusStats.schema)
+  }
+
+  /** Live doc count — driver metadata for the WAND router, free once
+    * [[corpusStatsLocal]] is materialized. */
+  lazy val nDocs: Long = corpusStatsLocal.select(col("n_docs")).head.getLong(0)
 
   /** Decode posting blocks to (term, doc_id, tf, dl), dropping tombstoned
     * docs. ALL search paths must decode through this. */

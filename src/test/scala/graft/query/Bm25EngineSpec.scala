@@ -78,6 +78,16 @@ class Bm25EngineSpec extends AnyFunSuite {
     assert(routedWand > 0, "no query routed to the WAND path — routing untested")
     assert(routedWand < minDf.size,
       "every query routed to the WAND path — full-route untested")
+
+    // the >cap lazy-candidate fallback (candidate set too large for a
+    // driver LocalRelation) must return the same rows as the local path
+    val qtermsLocal = Bm25Search.compileQueriesLocal(queriesDf, index.termStats)
+    val viaLocal = collectRanking(
+      Bm25Search.searchWandCompiled(qtermsLocal, index, K, p))
+    val viaLazy = collectRanking(
+      Bm25Search.searchWandCompiled(qtermsLocal, index, K, p, maxLocalCand = 0))
+    assert(viaLazy == viaLocal,
+      "lazy >cap candidate fallback diverges from the materialized path")
   }
 
   test("heap-Aggregator top-k ≡ window top-k") {
