@@ -662,7 +662,13 @@ case class Bm25IndexTables(
     * instance: the hot query paths crossJoin-broadcast the corpus stats
     * inside EVERY action, and for a persisted index each such broadcast
     * re-ran a parquet scan job. The value cannot change under an open
-    * index (updates swap in a new instance). */
+    * index (updates swap in a new instance).
+    *
+    * Used ONLY by the driver-compiled paths (persisted/WAND), which
+    * already collect at construction time; the declarative paths
+    * ([[Bm25Search.searchFull]] etc.) keep the lazy corpusStats subtree
+    * so building their plans stays action-free (the [[fromDocs]]
+    * laziness contract — first touching this val runs a job). */
   lazy val corpusStatsLocal: DataFrame = {
     val spark = corpusStats.sparkSession
     spark.createDataFrame(
