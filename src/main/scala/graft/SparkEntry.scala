@@ -355,6 +355,16 @@ object SparkEntry {
 
     "dedup_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
 
+    // benchmark decontamination: docs with doc_id % 50 == 0 stand in for
+    // the held-out eval set; the remaining corpus is scanned for leaked
+    // trigrams (≥ 2 distinct shared shingles to flag)
+    "text_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminated(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0), n = 3, minOverlap = 2)
+    }),
+
     "neardup_embedding" -> ((s, dir) =>
       Similarity.embeddingNearDups(embeddings(s, dir), 0.4, 1000, ivfFor(s, dir))),
 
@@ -743,6 +753,23 @@ object SparkEntry {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE c::DOUBLE / (sa.n_sh + sb.n_sh - c) >= 0.5""".stripMargin,
+
+    "text_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksDoc AS toks FROM documents),
+         |shl AS (
+         |  SELECT doc_id,
+         |         [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] AS sh
+         |  FROM toks
+         |), shf AS (
+         |  SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(sh) AS s FROM shl)
+         |), bench AS (
+         |  SELECT DISTINCT s FROM shf WHERE doc_id % 50 = 0
+         |)
+         |SELECT doc_id, count(*) AS overlap
+         |FROM shf JOIN bench USING (s)
+         |WHERE doc_id % 50 <> 0
+         |GROUP BY 1
+         |HAVING count(*) >= 2""".stripMargin,
 
     "neardup_embedding" ->
       s"""$IvfAssignCte, bsz AS (

@@ -207,4 +207,31 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Benchmark decontamination — the standard LLM training-data hygiene
+    * step (drop training docs that leak evaluation content): every corpus
+    * doc sharing ≥ `minOverlap` DISTINCT n-gram shingles with ANY
+    * benchmark doc is flagged with its overlap count. Tokenization and
+    * shingling are the same machinery as [[ngramJaccardPairs]], so a
+    * match means the same thing in both operators.
+    *
+    * Scale shape: the benchmark side is an EVAL SET — thousands of docs,
+    * ~10^5–10^6 distinct shingles — so its shingle universe is
+    * broadcast; the 10^12-doc corpus side is a map-side explode +
+    * broadcast-hash probe with NO shuffle of corpus shingles (only the
+    * surviving matches aggregate, and those are bounded by
+    * |benchmark shingles| × df). Callers with a benchmark too large to
+    * broadcast should pre-prune it (a benchmark that size is itself a
+    * corpus, and jaccard/minhash dedup is the right tool instead). */
+  def contaminated(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
+                   minOverlap: Int = 1): DataFrame = {
+    def sh(d: DataFrame) = d.select(col("doc_id"),
+      explode(array_distinct(shingles(Tokenizer.tokenizeDoc(col("text")), n))).as("s"))
+    val benchSh = broadcast(sh(benchmark).select(col("s")).distinct())
+    sh(docs)
+      .join(benchSh, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
 }

@@ -75,6 +75,33 @@ class PipelineSpec extends AnyFunSuite {
     (0L until 10L).foreach(i => assert(noCap.contains((i, 300L + i))))
   }
 
+  test("decontamination flags exactly the docs sharing benchmark shingles") {
+    // benchmark = the 10 base docs that have exact clones planted at
+    // 300+i and near-clones at 400+i: every clone shares (nearly) all
+    // its trigrams with the benchmark and must be flagged; docs 10..119
+    // are independent synthetic pages and must not be
+    val bench = docs.filter(col("doc_id") < 10)
+    val corpus = docs.filter(col("doc_id") >= 300)
+    val flagged = Dedup.contaminated(corpus, bench, n = 3, minOverlap = 2)
+      .select(col("doc_id"), col("overlap")).as[(Long, Long)].collect().toMap
+    (0L until 10L).foreach { i =>
+      assert(flagged.contains(300L + i), s"exact clone ${300 + i} not flagged")
+      assert(flagged.contains(400L + i), s"near clone ${400 + i} not flagged")
+    }
+    // overlap counts equal a local recomputation over distinct trigrams
+    val shLocal = docs.select(col("doc_id"),
+        Dedup.shingles(graft.analysis.Tokenizer.tokenizeDoc(col("text")), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap.view.mapValues(_.toSet)
+    val benchSh = (0L until 10L).flatMap(shLocal(_)).toSet
+    flagged.foreach { case (id, n) =>
+      assert(n == shLocal(id).count(benchSh.contains), s"overlap mismatch for $id")
+    }
+    // scale shape: the benchmark side must broadcast (corpus shingles are
+    // never shuffled by the probe join)
+    val plan = Dedup.contaminated(corpus, bench).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("simhash bucket cap bounds candidate generation") {
     // maxBucket=1 leaves no bucket with >=2 members -> zero candidates
     assert(Dedup.simhashPairs(docs, maxBucket = 1).count() == 0L)
