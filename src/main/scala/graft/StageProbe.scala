@@ -10,6 +10,10 @@ object StageProbe {
       val spark = SparkSession.builder().master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions",
           (cpus * sys.env.getOrElse("PROBE_SHUFFLE_MULT", "1").toInt).toString)
+        .config("spark.io.compression.codec",
+          sys.env.getOrElse("PROBE_CODEC", "lz4"))
+        .config("spark.shuffle.compress",
+          sys.env.getOrElse("PROBE_SHUFFLE_COMPRESS", "true"))
         .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       // warmup

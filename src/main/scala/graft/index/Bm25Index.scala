@@ -191,6 +191,33 @@ object Bm25Index {
         col("be.dls_enc").as("dls_enc"),
         col("be.block_max_tfnorm").as("block_max_tfnorm"))
 
+  /** [[blocks]] with the aggregation and the encode fused into ONE
+    * Catalyst aggregate (`BlockEncodeAggExpr`): postings accumulate into
+    * primitive arrays instead of collect_list's per-row objects and cross
+    * the shuffle as varint bytes — the blocks stage is ~90% of build
+    * time, and its limit at high core counts is memory traffic, not CPU.
+    * Needs avgdl as a DRIVER value (the persisted build reads it from
+    * the committed one-row corpusstats stage); row-identical to [[blocks]]
+    * (property-tested in CodecSpec + the build identity suites). */
+  def blocksAgg(postingsWithDl: DataFrame, avgdl: Double, p: Bm25Params): DataFrame =
+    postingsWithDl
+      .select(
+        termId(col("term"), p.termIdSeed).as("term_id"),
+        (col("doc_id") / p.blockSpan).cast("long").as("block_no"),
+        col("term"), col("doc_id"), col("tf"), col("dl"))
+      .groupBy(col("term_id"), col("block_no"), col("term"))
+      .agg(graft.codec.BlockEncode.block_encode_agg(
+        col("doc_id"), col("tf"), col("dl"), avgdl, p.k1, p.b).as("be"))
+      .select(
+        col("term_id"),
+        col("block_no"),
+        col("term"),
+        col("be.n").as("n"),
+        col("be.doc_ids_enc").as("doc_ids_enc"),
+        col("be.tfs_enc").as("tfs_enc"),
+        col("be.dls_enc").as("dls_enc"),
+        col("be.block_max_tfnorm").as("block_max_tfnorm"))
+
   /** (term, term_id, df, idf, max_tfnorm) derived from the BLOCKS table —
     * df = Σ block n (postings are unique per (term, doc)), dictionary
     * string and block-max carried on the block rows. Replaces a second

@@ -189,12 +189,17 @@ object IndexBuilder {
       // (petabyte-class at 10^12 docs) to buy nothing: a blocks-stage
       // failure resumes from the committed docs table.
       //
-      // The groupBy inside Bm25Index.blocks already hash-partitions on
+      // The groupBy inside Bm25Index.blocksAgg already hash-partitions on
       // (term_id, block_no) — an explicit repartition here would be a
       // SECOND full exchange of the encoded blocks for the same layout.
       // Only the within-partition sort is added, so parquet row groups
       // are clustered by term_id for query-time min/max pruning.
-      Bm25Index.blocks(Bm25Index.postingsWithDl(docs), corpus, p)
+      //
+      // The fused-aggregate variant (postings buffered in primitive
+      // arrays, varint partial buffers) needs avgdl as a driver value —
+      // one row off the committed corpusstats stage.
+      Bm25Index.blocksAgg(Bm25Index.postingsWithDl(docs),
+        corpus.select(col("avgdl")).head.getDouble(0), p)
         .sortWithinPartitions(col("term_id"), col("block_no"))
     }
     reports += blocksReport

@@ -36,6 +36,29 @@ class IndexBuilderSpec extends AnyFunSuite {
     }
   }
 
+  test("fused block-encode aggregate ≡ collect_list + encode expression (row-identical)") {
+    // the persisted build runs blocksAgg (primitive-array buffers, varint
+    // partial serialization); the lazy in-memory path runs blocks
+    // (collect_list + BlockEncodeExpr). Same rows, bit-exact, at a
+    // parallelism that forces real partial-merge + shuffle serialization
+    val docs = Synthesizer.withDocIds(pages).select(col("doc_id"), col("text"))
+      .repartition(7)
+    val p = Bm25Params(blockSpan = 16) // many blocks → many groups
+    val postings = Bm25Index.postingsWithDl(docs)
+    val corpus = Bm25Index.corpusStats(Bm25Index.docStats(docs))
+    val avgdl = corpus.select(col("avgdl")).head.getDouble(0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("term_id"), col("block_no"), col("term"), col("n"),
+        hex(col("doc_ids_enc")).as("d"), hex(col("tfs_enc")).as("t"),
+        hex(col("dls_enc")).as("l"), col("block_max_tfnorm"))
+      .as[(Long, Long, String, Int, String, String, String, Double)]
+      .collect().sortBy(r => (r._1, r._2, r._3))
+    val viaAgg = rows(Bm25Index.blocksAgg(postings, avgdl, p))
+    val viaList = rows(Bm25Index.blocks(postings, corpus, p))
+    assert(viaAgg.length == viaList.length && viaAgg.sameElements(viaList),
+      "fused aggregate diverges from the two-step encode")
+  }
+
   test("build commits all four stages with non-empty lineage; extraction audit is clean") {
     val dir = tmpDir()
     val reports = IndexBuilder.build(spark, pages, dir)
