@@ -162,7 +162,10 @@ object IndexBuilder {
         import spark.implicits._
         Seq((n, sumDl)).toDF("n_docs", "sum_dl")
           .select(col("n_docs"),
-            (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"),
+            // NULL avgdl on an empty corpus (ANSI mode makes /0 throw);
+            // matches avg() over zero rows in the aggregated fallback
+            when(col("n_docs") === 0, lit(null).cast("double"))
+              .otherwise(col("sum_dl").cast("double") / col("n_docs")).as("avgdl"),
             col("sum_dl"))
       }
     }
@@ -197,9 +200,14 @@ object IndexBuilder {
       //
       // The fused-aggregate variant (postings buffered in primitive
       // arrays, varint partial buffers) needs avgdl as a driver value —
-      // one row off the committed corpusstats stage.
-      Bm25Index.blocksAgg(Bm25Index.postingsWithDl(docs),
-        corpus.select(col("avgdl")).head.getDouble(0), p)
+      // one row off the committed corpusstats stage. avgdl is NULL when
+      // the filtered corpus is empty (sum_dl/0): an empty build must
+      // still commit an empty blocks table (supported everywhere else —
+      // e.g. maxDocId's coalesce), and with zero postings the value is
+      // never used, so any finite stand-in is correct.
+      val avgdlRow = corpus.select(col("avgdl")).head
+      val avgdl = if (avgdlRow.isNullAt(0)) 1.0 else avgdlRow.getDouble(0)
+      Bm25Index.blocksAgg(Bm25Index.postingsWithDl(docs), avgdl, p)
         .sortWithinPartitions(col("term_id"), col("block_no"))
     }
     reports += blocksReport

@@ -184,7 +184,15 @@ object IndexUpdater {
       return IndexBuilder.open(spark, indexDir)
 
     val allDirs = indexDir +: segs
-    val blocks = allDirs.map(d => spark.read.parquet(IndexBuilder.stageDir(d, "blocks")))
+    // project each dir's blocks to the canonical QUERY columns before the
+    // union: the dictionary string `term` rides on new-format block rows
+    // for build-time audit / termstats derivation only, and a base built
+    // before it existed must still union with new-format segments (the
+    // same old-format tolerance corpusstats and tombstones get below)
+    val blockCols = Seq("term_id", "block_no", "n", "doc_ids_enc", "tfs_enc",
+      "dls_enc", "block_max_tfnorm").map(col)
+    val blocks = allDirs.map(d =>
+        spark.read.parquet(IndexBuilder.stageDir(d, "blocks")).select(blockCols: _*))
       .reduce(_ unionByName _)
     val tombs = tombstones(spark, indexDir)
 
@@ -289,7 +297,11 @@ object IndexUpdater {
     }
     val scale = math.max(1.0, avgdlNow / buildAvgdls.min)
 
-    Bm25IndexTables(blocks, termStats, corpus, tombs, scale)
+    // the id span hint keeps the WAND router's block count honest on
+    // merged indexes: tombstones and filtered segments leave doc-id holes,
+    // so the live count under-states how many blocks the numbering spans
+    Bm25IndexTables(blocks, termStats, corpus, tombs, scale,
+      maxDocIdHint = Some(maxDocId(spark, indexDir)))
   }
 
   /** Fold base + segments − tombstones into a fresh base index at

@@ -134,7 +134,7 @@ object Bm25Search {
     if (rows.length > cap) None else Some(rows.toSeq)
   }
 
-  private def tokenizeRows(rows: Seq[(Long, String)]): Seq[(Long, String, Int)] =
+  private[query] def tokenizeRows(rows: Seq[(Long, String)]): Seq[(Long, String, Int)] =
     rows.flatMap { case (qid, text) =>
       Tokenizer.tokenize(text, Tokenizer.QueryMaxTerms)
         .groupBy(identity).toSeq.sortBy(_._1)
@@ -417,25 +417,16 @@ object Bm25Search {
     val rows = qterms.select(col("qid"), col("term"), col("qtf"), col("term_id"),
       col("idf"), col("df")).as[(Long, String, Int, Long, Double, Long)].collect()
     if (rows.isEmpty) return fullPath(qterms, index, k, p, persisted)
-    val nBlocks = math.max(1L, (index.nDocs + p.blockSpan - 1) / p.blockSpan)
+    val nBlocks = math.max(1L, (index.docIdSpan + p.blockSpan - 1) / p.blockSpan)
     val minDf = rows.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._6).min }
     val (wandRows, fullRows) = rows.partition(r => 2L * minDf(r._1) < nBlocks)
     def frame(rs: Array[(Long, String, Int, Long, Double, Long)]) =
       rs.toSeq.toDF("qid", "term", "qtf", "term_id", "idf", "df")
     val parts =
-      (if (wandRows.nonEmpty) Seq(wandPath(frame(wandRows), index, k, p, persisted)) else Nil) ++
+      (if (wandRows.nonEmpty) Seq(searchWandCompiled(frame(wandRows), index, k, p)) else Nil) ++
       (if (fullRows.nonEmpty) Seq(fullPath(frame(fullRows), index, k, p, persisted)) else Nil)
     parts.reduce(_ unionByName _)
   }
-
-  private def wandPath(qterms: DataFrame, index: Bm25IndexTables, k: Int,
-                       p: Bm25Params, persisted: Boolean): DataFrame =
-    if (!persisted) searchWandCompiled(qterms, index, k, p)
-    else {
-      val ids = qterms.select(col("term_id")).collect().map(_.getLong(0)).distinct.toSeq
-      searchWandCompiled(qterms,
-        index.copy(blocks = index.blocks.filter(col("term_id").isin(ids: _*))), k, p)
-    }
 
   private def fullPath(qterms: DataFrame, index: Bm25IndexTables, k: Int,
                        p: Bm25Params, persisted: Boolean): DataFrame =
@@ -656,7 +647,17 @@ case class Bm25IndexTables(
     termStats: DataFrame,
     corpusStats: DataFrame,
     tombstones: Option[Tombstones] = None,
-    wandBoundScale: Double = 1.0) {
+    wandBoundScale: Double = 1.0,
+    maxDocIdHint: Option[Long] = None) {
+
+  /** Doc-ID SPAN of the index — what block numbering actually covers
+    * (block_no = doc_id/blockSpan). The live count under-states it on
+    * merged indexes (tombstones / filtered segment gaps leave id holes),
+    * which would make the WAND router see too few blocks and misroute
+    * genuinely block-sparse queries onto the unpruned path; openMerged
+    * sets the hint from the segments' max doc id. Plain builds assign
+    * dense 0..n-1 ids, so the live count IS the span there. */
+  def docIdSpan: Long = maxDocIdHint.fold(nDocs)(_ + 1L)
 
   /** corpusStats as a one-row LocalRelation, collected once per index
     * instance: the hot query paths crossJoin-broadcast the corpus stats

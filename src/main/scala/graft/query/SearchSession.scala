@@ -33,9 +33,20 @@ final class SearchSession private (spark: SparkSession, val index: Bm25IndexTabl
     * vocab resident for the Searcher's life, index_loader.py:25-27);
     * only never-seen terms pay one isin-filtered lookup job. Misses are
     * cached too (None) so repeated unknown terms don't re-probe. */
-  def search(queries: DataFrame, k: Int, p: Bm25Params = Bm25Params()): DataFrame = {
+  def search(queries: DataFrame, k: Int, p: Bm25Params = Bm25Params()): DataFrame =
+    // the session compile collects the batch to the driver, so it carries
+    // the same size gate as Bm25Search.searchPersisted: a corpus-scale
+    // analytics batch routed through a session falls back to the fully
+    // distributed plan (identical rows) instead of serializing 10^6
+    // queries through the driver
+    Bm25Search.collectBatch(queries) match {
+      case None => Bm25Search.searchFull(queries, index, k, p)
+      case Some(rows) => searchRows(rows, k, p)
+    }
+
+  private def searchRows(rows: Seq[(Long, String)], k: Int, p: Bm25Params): DataFrame = {
     import spark.implicits._
-    val counts = Bm25Search.tokenizeQueriesDriver(queries)
+    val counts = Bm25Search.tokenizeRows(rows)
     // resolve through a LOCAL snapshot: the shared dict may be wiped (by
     // this call's own overflow handling or a concurrent one) between the
     // lookup and the use, so the query must never read the shared map twice
@@ -46,8 +57,16 @@ final class SearchSession private (spark: SparkSession, val index: Bm25IndexTabl
       if (missing.isEmpty) fromCache
       else {
         val found = Bm25Search.lookupTerms(missing, index.termStats)
-        if (termDict.size + missing.size > MaxDictEntries) termDict.clear()
-        missing.foreach(t => termDict.put(t, found.get(t)))
+        // entry count kept in an O(1) counter: TrieMap.size walks the
+        // whole trie (up to 2M entries) and this runs per miss-bearing
+        // query on the latency path. The count is advisory (a soft cap),
+        // so racy over/under-counting is harmless.
+        if (dictEntries.get() + missing.size > MaxDictEntries) {
+          termDict.clear(); dictEntries.set(0)
+        }
+        missing.foreach { t =>
+          if (termDict.put(t, found.get(t)).isEmpty) dictEntries.incrementAndGet()
+        }
         fromCache ++ missing.map(t => t -> found.get(t))
       }
     val qterms = counts.flatMap { case (qid, t, qtf) =>
@@ -62,6 +81,7 @@ final class SearchSession private (spark: SparkSession, val index: Bm25IndexTabl
   private val MaxDictEntries = 2000000
   private val termDict =
     scala.collection.concurrent.TrieMap.empty[String, Option[(Long, Double, Long)]]
+  private val dictEntries = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Single-query convenience (the server.py-style entry point). */
   def searchOne(text: String, k: Int): DataFrame = {

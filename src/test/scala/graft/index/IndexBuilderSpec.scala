@@ -59,6 +59,18 @@ class IndexBuilderSpec extends AnyFunSuite {
       "fused aggregate diverges from the two-step encode")
   }
 
+  test("a fully-filtered (empty) corpus still builds, opens and searches") {
+    // every row lang-filtered out → n_docs=0, avgdl NULL: the blocks
+    // stage must not NPE on the driver-side avgdl read (empty indexes
+    // are supported — segments can be all-filtered batches)
+    val dir = tmpDir()
+    IndexBuilder.build(spark, pages.withColumn("lang", lit("xx")), dir,
+      auditExtraction = false)
+    val index = IndexBuilder.open(spark, dir)
+    val queries = Seq((0L, "anything at all")).toDF("qid", "text")
+    assert(Bm25Search.searchPersisted(queries, index, 5).count() == 0L)
+  }
+
   test("build commits all four stages with non-empty lineage; extraction audit is clean") {
     val dir = tmpDir()
     val reports = IndexBuilder.build(spark, pages, dir)
