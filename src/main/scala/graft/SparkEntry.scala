@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.eval.Metrics
 import graft.index.{Bm25Index, IndexBuilder, IndexUpdater}
 import graft.multimodal.Media
-import graft.pipeline.{Dedup, Similarity, TextStats}
+import graft.pipeline.{Dedup, Sampling, Similarity, TextStats}
 import graft.query.{Bm25IndexTables, Bm25Search}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -365,6 +365,13 @@ object SparkEntry {
         d.filter(col("doc_id") % 50 === 0), n = 3, minOverlap = 2)
     }),
 
+    // training-data mixture: each source kept at its target rate by a
+    // deterministic hash of (seed, doc_id); unconfigured sources drop
+    "mix_sources" -> ((s, dir) =>
+      Sampling.mixBySource(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"), MixRates, MixSeed)),
+
     "neardup_embedding" -> ((s, dir) =>
       Similarity.embeddingNearDups(embeddings(s, dir), 0.4, 1000, ivfFor(s, dir))),
 
@@ -418,6 +425,22 @@ object SparkEntry {
   // regexp_split_to_array(lower(text), '[^\p{L}\p{Nd}]+') + drop empties +
   // truncate (verified byte-identical on the sf tables).
   // ---------------------------------------------------------------------
+
+  /** Mixture definition shared by the `mix_sources` query and its oracle:
+    * full srcs 0-4, half 5-9, fifth 10-14, everything else dropped. */
+  private val MixSeed = "mix-r3"
+  private val MixRates: Map[String, Double] =
+    ((0 to 4).map(i => s"src$i" -> 1.0) ++
+     (5 to 9).map(i => s"src$i" -> 0.5) ++
+     (10 to 14).map(i => s"src$i" -> 0.2)).toMap
+
+  private def mixCaseSql: String = {
+    def inList(r: Range) = r.map(i => s"'src$i'").mkString(", ")
+    s"CASE WHEN source IN (${inList(0 to 4)}) THEN '${Sampling.hexThreshold(1.0)}' " +
+      s"WHEN source IN (${inList(5 to 9)}) THEN '${Sampling.hexThreshold(0.5)}' " +
+      s"WHEN source IN (${inList(10 to 14)}) THEN '${Sampling.hexThreshold(0.2)}' " +
+      "ELSE NULL END"
+  }
 
   private val ToksDoc =
     """list_slice(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{Nd}]+'), x -> x <> ''), 1, 220)"""
@@ -753,6 +776,14 @@ object SparkEntry {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE c::DOUBLE / (sa.n_sh + sb.n_sh - c) >= 0.5""".stripMargin,
+
+    "mix_sources" ->
+      s"""WITH thr AS (
+         |  SELECT doc_id, source, $mixCaseSql AS t FROM documents
+         |)
+         |SELECT doc_id, source FROM thr
+         |WHERE t IS NOT NULL
+         |  AND substr(md5('$MixSeed' || '|' || doc_id::VARCHAR), 1, 8) < t""".stripMargin,
 
     "text_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, $ToksDoc AS toks FROM documents),

@@ -75,6 +75,42 @@ class PipelineSpec extends AnyFunSuite {
     (0L until 10L).foreach(i => assert(noCap.contains((i, 300L + i))))
   }
 
+  test("hash sampling/mixing: deterministic, rate-accurate, shuffle-free") {
+    import java.security.MessageDigest
+    val n = 4000L
+    val rows = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("src"), (col("id") % 4).cast("string")).as("source"))
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1) // src3 dropped
+    val mixed = Sampling.mixBySource(rows, col("source"), col("doc_id"), rates, "t-seed")
+    val got = mixed.select(col("doc_id"), col("source")).as[(Long, String)].collect().toSet
+
+    // parity with a local md5 recomputation of the same rule
+    val md = MessageDigest.getInstance("MD5")
+    def hex8(s: String) =
+      md.digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    val want = (0L until n).flatMap { id =>
+      val src = s"src${id % 4}"
+      rates.get(src).collect {
+        case r if r >= 1.0 || hex8(s"t-seed|$id") < Sampling.hexThreshold(r) => (id, src)
+      }
+    }.toSet
+    assert(got == want, "mix disagrees with local md5 recomputation")
+
+    // rates hold to a few percent at n=1000/source
+    val bySrc = got.groupBy(_._2).view.mapValues(_.size.toDouble / (n / 4)).toMap
+    assert(bySrc("src0") == 1.0)
+    assert(math.abs(bySrc("src1") - 0.5) < 0.05, s"src1 rate ${bySrc("src1")}")
+    assert(math.abs(bySrc("src2") - 0.1) < 0.03, s"src2 rate ${bySrc("src2")}")
+    assert(!bySrc.contains("src3"), "unconfigured source must drop")
+
+    // identical selection at any parallelism, and a pure narrow plan
+    val again = Sampling.mixBySource(rows.repartition(13), col("source"),
+      col("doc_id"), rates, "t-seed").as[(Long, String)].collect().toSet
+    assert(again == got)
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n${plan.take(500)}")
+  }
+
   test("decontamination flags exactly the docs sharing benchmark shingles") {
     // benchmark = the 10 base docs that have exact clones planted at
     // 300+i and near-clones at 400+i: every clone shares (nearly) all
