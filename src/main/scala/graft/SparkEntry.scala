@@ -139,13 +139,32 @@ object SparkEntry {
         col("text"),
         lit("en").as("lang"))
 
+  /** Opened index tables per (session, dir): the vocabulary-sized
+    * termstats and 1-row corpusstats are persisted AND materialized once
+    * (the reference loads the index once per Searcher and keeps it
+    * resident, index_loader.py:25-27) — without this every query re-runs
+    * the stats read, and for the MERGED index re-runs the whole
+    * segments-union + tombstone-semi-join stats recomputation. Blocks are
+    * NOT persisted: the persisted path's point is the pushed In-filter on
+    * the parquet scan, which an InMemoryTableScan would defeat. */
+  private val openedIndexCache = new SessionCache[Bm25IndexTables]
+  private def openResident(s: SparkSession, key: String)
+                          (open: => Bm25IndexTables): Bm25IndexTables =
+    openedIndexCache.getOrElseUpdate(s, key) {
+      val t = open
+      val r = t.copy(termStats = t.termStats.persist(),
+        corpusStats = t.corpusStats.persist())
+      r.termStats.count(); r.corpusStats.count()
+      r
+    }
+
   private def persistedIndexFor(s: SparkSession, dir: String): Bm25IndexTables = {
     val idxDir = builtIndexCache.getOrElseUpdate(s"base:$dir", {
       val d = entryTmpRoot.resolve(s"idx-${math.abs(dir.hashCode)}").toString
       IndexBuilder.build(s, pagesFromDocuments(s, dir, lit(true)), d, auditExtraction = false)
       d
     })
-    IndexBuilder.open(s, idxDir)
+    openResident(s, s"base:$dir")(IndexBuilder.open(s, idxDir))
   }
 
   /** Base build over the first 60% of docs, the rest added as an updater
@@ -163,7 +182,7 @@ object SparkEntry {
       IndexUpdater.remove(s, d, docsDf.filter(col("doc_id") % 10 === 7).select(col("doc_id")))
       d
     })
-    IndexUpdater.openMerged(s, idxDir)
+    openResident(s, s"upd:$dir")(IndexUpdater.openMerged(s, idxDir))
   }
 
   /** The updated fixture folded into a FRESH base index (segments and
@@ -180,7 +199,7 @@ object SparkEntry {
       IndexUpdater.compact(s, srcDir, d)
       d
     })
-    IndexBuilder.open(s, idxDir)
+    openResident(s, s"cmp:$dir")(IndexBuilder.open(s, idxDir))
   }
 
   /** Force the one-time ON-DISK index fixtures (the persisted 4-stage
