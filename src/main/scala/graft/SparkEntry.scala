@@ -335,7 +335,8 @@ object SparkEntry {
     // (colbert/searcher.py:161-217; SURVEY §2.4 J8 + §2.3 T4)
     "bm25_extract_spans" -> ((s, dir) => {
       val index = indexFor(s, dir)
-      Bm25Search.searchExtractions(flagshipQueriesDf(s), index, docs(s, dir), 10)
+      Bm25Search.searchExtractions(flagshipQueriesDf(s), index, docs(s, dir), 10,
+        precomputedRanking = Some(flagshipRankingFor(s, dir)))
         .select(col("qid"), col("doc_id"), col("rank"), col("term"),
           col("token_pos"), col("start_char"), col("end_char"),
           round(col("partial"), 4).as("partial"))

@@ -306,8 +306,13 @@ object Bm25Search {
     */
   def searchExtractions(queries: DataFrame, index: Bm25IndexTables,
                         docsText: DataFrame, k: Int,
-                        p: Bm25Params = Bm25Params()): DataFrame = {
-    val ranking = searchFull(queries, index, k, p)
+                        p: Bm25Params = Bm25Params(),
+                        precomputedRanking: Option[DataFrame] = None): DataFrame = {
+    // extractions annotate an EXISTING ranking (reference: the searcher
+    // extracts rationales for results it already ranked,
+    // colbert/searcher.py:161-217) — a serving session that holds its
+    // ranking resident passes it here instead of re-searching
+    val ranking = precomputedRanking.getOrElse(searchFull(queries, index, k, p))
       .select(col("qid"), col("doc_id"), col("rank"))
     val qterms = compileQueries(queries, index.termStats)
     val topDocs = ranking.join(docsText.select(col("doc_id"), col("text")), "doc_id")
