@@ -8,6 +8,7 @@ import graft.index.{Bm25Index, IndexBuilder, IndexUpdater}
 import graft.multimodal.Media
 import graft.pipeline.{Dedup, Sampling, Similarity, TextStats}
 import graft.query.{Bm25IndexTables, Bm25Search}
+import graft.train.Training
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -106,6 +107,20 @@ object SparkEntry {
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Training triples (nway=4) derived once per (session, dir) from the
+    * flagship ranking + conjunctive qrels and shared by the train_*
+    * entries — the reference reads ONE triples file per training run
+    * (lazy_batcher.py:24-38). */
+  private val triplesCache = new SessionCache[DataFrame]
+  private def triplesFor(s: SparkSession, dir: String): DataFrame =
+    triplesCache.getOrElseUpdate(s, dir) {
+      Training.triplesFromRanking(
+        flagshipRankingFor(s, dir).select(col("qid"), col("doc_id"), col("rank"), col("score")),
+        Metrics.conjunctiveQrels(flagshipQueriesDf(s), docs(s, dir)),
+        nway = TrainNway).persist()
+    }
+  private val TrainNway = 4
 
   // -- persisted index fixtures -----------------------------------------
   // The oracle-gated PERSISTED path (VERDICT r1 item 1): the 4-stage
@@ -227,7 +242,8 @@ object SparkEntry {
         restrictedRankingFor(s, dir, inThird = true).count()
         restrictedRankingFor(s, dir, inThird = false).count(); ()
       },
-      timed("ivf_model") { ivfFor(s, dir)._2.count(); () })
+      timed("ivf_model") { ivfFor(s, dir)._2.count(); () },
+      timed("train_triples") { triplesFor(s, dir).count(); () })
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -433,7 +449,42 @@ object SparkEntry {
     //      deterministic stub — see graft.multimodal.Media) ----
     "media_meta" -> ((s, dir) => Media.mediaMeta(mediaAssets(s, dir))),
 
-    "media_frames" -> ((s, dir) => Media.sampleFrames(mediaAssets(s, dir)))
+    "media_frames" -> ((s, dir) => Media.sampleFrames(mediaAssets(s, dir))),
+
+    // ---- training-data assembly (SURVEY §2 T5/J5/J9/A11) ----
+    // batch-by-length + reverse permutation within 256-doc encoder chunks
+    // (tokenization/utils.py:70-85, undo at checkpoint.py:156-175)
+    "train_batches" -> ((s, dir) => Training.lengthBatches(docs(s, dir))),
+
+    // triples ⋈ queries ⋈ collection batch assembly (lazy_batcher.py:57-79)
+    "train_triples" -> ((s, dir) =>
+      Training.assembleBatch(triplesFor(s, dir), flagshipQueriesDf(s), docs(s, dir))),
+
+    // in-batch-negative Q×D score matrix, own negatives excluded
+    // (compute_ib_loss, colbert/modeling/colbert.py:71-87)
+    "train_ib_scores" -> ((s, dir) =>
+      Training.inBatchScores(flagshipQueriesDf(s), triplesFor(s, dir), indexFor(s, dir))
+        .select(col("qid"), col("doc_id"),
+          round(col("score"), 4).as("score"), col("label"))),
+
+    // per-query loss reductions: nway CE + teacher→student KL distillation
+    // + in-batch CE (training.py:159-196; teacher = full-BM25 ranking
+    // scores, student = flipr top-2-term scores)
+    "train_losses" -> ((s, dir) => {
+      val trip = triplesFor(s, dir)
+      val student = Training.fliprScoresFor(
+        flagshipQueriesDf(s), trip.select(col("doc_id")).distinct(), indexFor(s, dir))
+      val nway = trip
+        .join(student, Seq("qid", "doc_id"))
+        .select(col("qid"), col("way"),
+          col("score").as("teacher"), col("student_score").as("student"))
+      val ib = Training.inBatchScores(flagshipQueriesDf(s), trip, indexFor(s, dir))
+      Training.losses(nway, ib)
+        .select(col("qid"),
+          round(col("ce_nway"), 4).as("ce_nway"),
+          round(col("kl_distill"), 4).as("kl_distill"),
+          round(col("ib_ce"), 4).as("ib_ce"))
+    })
   )
 
   private def mediaAssets(s: SparkSession, dir: String): DataFrame =
@@ -980,7 +1031,77 @@ object SparkEntry {
          |       floor(f * nb::DOUBLE / n_frames)::BIGINT AS byte_offset
          |FROM (SELECT asset_id, nb, n_frames,
          |             unnest(range(0, least(n_frames, 4))) AS f
-         |      FROM m)""".stripMargin
+         |      FROM m)""".stripMargin,
+
+    // within each 256-doc chunk: stable (dl asc, doc_id asc) sort, split
+    // into 32-doc batches, restore_pos = the reverse permutation
+    "train_batches" ->
+      s"""WITH dl AS (
+         |  SELECT doc_id, len($ToksDoc)::INT AS dl,
+         |         (doc_id // 256)::BIGINT AS chunk_id
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, dl, chunk_id,
+         |         row_number() OVER (PARTITION BY chunk_id ORDER BY dl, doc_id) - 1 AS sorted_pos,
+         |         row_number() OVER (PARTITION BY chunk_id ORDER BY doc_id) - 1 AS restore_pos
+         |  FROM dl
+         |)
+         |SELECT doc_id, dl,
+         |       (chunk_id * 8 + sorted_pos // 32)::BIGINT AS batch_id,
+         |       (sorted_pos % 32)::INT AS pos_in_batch,
+         |       restore_pos::INT AS restore_pos
+         |FROM p""".stripMargin,
+
+    "train_triples" ->
+      s"""$TriplesCte
+         |SELECT t.qid, t.way, t.doc_id,
+         |       md5(q.qtext) AS query_md5, md5(d.text) AS text_md5
+         |FROM triples t
+         |JOIN q ON q.qid = t.qid
+         |JOIN documents d ON d.doc_id = t.doc_id""".stripMargin,
+
+    "train_ib_scores" ->
+      s"""$TriplesCte, $IbRowsCte
+         |SELECT qid, doc_id, round(score, 4) AS score, label FROM ibr""".stripMargin,
+
+    "train_losses" ->
+      s"""$TriplesCte, fpart AS (
+         |  SELECT qid, doc_id, partial,
+         |         row_number() OVER (PARTITION BY qid, doc_id ORDER BY partial DESC) AS pr
+         |  FROM hits
+         |), fscores AS (
+         |  SELECT qid, doc_id, sum(partial) AS score FROM fpart WHERE pr <= 2 GROUP BY 1, 2
+         |), nws AS (
+         |  SELECT t.qid, t.way, round(t.score, 4) AS ts, round(f.score, 4) AS ss
+         |  FROM triples t JOIN fscores f ON f.qid = t.qid AND f.doc_id = t.doc_id
+         |), nagg AS (
+         |  SELECT qid, max(ss) AS m_s, max(ts) AS m_t,
+         |         list(ss ORDER BY way) AS sss, list(ts ORDER BY way) AS tss,
+         |         first(ss ORDER BY way) AS s_pos
+         |  FROM nws GROUP BY 1
+         |), nz AS (
+         |  SELECT qid, m_s, m_t, s_pos, sss, tss,
+         |    list_reduce([exp(x - m_s) for x in sss], (a, b) -> a + b) AS zs,
+         |    list_reduce([exp(x - m_t) for x in tss], (a, b) -> a + b) AS zt
+         |  FROM nagg
+         |), nloss AS (
+         |  SELECT qid, -(s_pos - m_s - ln(zs)) AS ce_nway,
+         |    list_reduce([exp(p[2] - m_t) / zt * ((p[2] - m_t - ln(zt)) - (p[1] - m_s - ln(zs)))
+         |                 for p in list_zip(sss, tss)], (a, b) -> a + b) AS kl_distill
+         |  FROM nz
+         |), $IbRowsCte, iagg AS (
+         |  SELECT qid, max(round(score, 4)) AS m,
+         |         list(round(score, 4) ORDER BY doc_id) AS xs,
+         |         max(CASE WHEN label = 1 THEN round(score, 4) END) AS s_pos
+         |  FROM ibr GROUP BY 1
+         |), iloss AS (
+         |  SELECT qid,
+         |         -(s_pos - m - ln(list_reduce([exp(x - m) for x in xs], (a, b) -> a + b))) AS ib_ce
+         |  FROM iagg
+         |)
+         |SELECT n.qid, round(n.ce_nway, 4) AS ce_nway,
+         |       round(n.kl_distill, 4) AS kl_distill, round(i.ib_ce, 4) AS ib_ce
+         |FROM nloss n JOIN iloss i ON i.qid = n.qid""".stripMargin
   )
 
   /** Shared IVF CTE — the data-driven quantizer (k = ⌈√N⌉ sampled seeds +
@@ -1051,4 +1172,53 @@ object SparkEntry {
   private val EvalMetricsSql: String =
     s"""$EvalCte
        |SELECT qid, rr10, recall10, success5, n_rel FROM pq_final""".stripMargin
+
+  /** Training triples mirroring Training.triplesFromRanking over the
+    * flagship ranking (depth 10) + conjunctive qrels: way 0 = best-ranked
+    * relevant doc, ways 1..3 = top non-relevant docs in rank order;
+    * queries with no relevant doc in the ranking yield no triples. Each
+    * row keeps the ranking score (the distillation teacher). */
+  private val TriplesCte: String =
+    s"""$EvalCte, topd AS (
+       |  SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10
+       |), pos AS (
+       |  SELECT qid, doc_id, score FROM (
+       |    SELECT t.qid, t.doc_id, t.score,
+       |           row_number() OVER (PARTITION BY t.qid ORDER BY t.rank) AS pr
+       |    FROM topd t JOIN rel ON rel.qid = t.qid AND rel.doc_id = t.doc_id
+       |  ) WHERE pr = 1
+       |), negs AS (
+       |  SELECT qid, doc_id, score, nr FROM (
+       |    SELECT t.qid, t.doc_id, t.score,
+       |           row_number() OVER (PARTITION BY t.qid ORDER BY t.rank) AS nr
+       |    FROM topd t ANTI JOIN rel ON rel.qid = t.qid AND rel.doc_id = t.doc_id
+       |  ) WHERE nr <= ${TrainNway - 1}
+       |), triples AS (
+       |  SELECT qid, 0::INT AS way, doc_id, score FROM pos
+       |  UNION ALL
+       |  SELECT n.qid, n.nr::INT AS way, n.doc_id, n.score
+       |  FROM negs n JOIN pos p ON p.qid = n.qid
+       |)""".stripMargin
+
+  /** In-batch candidate rows: batch qids × distinct batch docs, own
+    * negatives excluded, unmatched pairs scored 0, label = own positive.
+    * Plugs after [[TriplesCte]]. */
+  private val IbRowsCte: String =
+    """bdocs AS (
+      |  SELECT DISTINCT doc_id FROM triples
+      |), bq AS (
+      |  SELECT DISTINCT qid FROM triples
+      |), pairs AS (
+      |  SELECT bq.qid, bdocs.doc_id FROM bq CROSS JOIN bdocs
+      |), ownneg AS (
+      |  SELECT qid, doc_id FROM triples WHERE way > 0
+      |), ibr AS (
+      |  SELECT p.qid, p.doc_id, coalesce(s.score, 0.0) AS score,
+      |         CASE WHEN ps.doc_id IS NOT NULL THEN 1 ELSE 0 END::INT AS label
+      |  FROM pairs p
+      |  LEFT JOIN scores s ON s.qid = p.qid AND s.doc_id = p.doc_id
+      |  LEFT JOIN pos ps ON ps.qid = p.qid AND ps.doc_id = p.doc_id
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM ownneg o WHERE o.qid = p.qid AND o.doc_id = p.doc_id)
+      |)""".stripMargin
 }

@@ -1,0 +1,201 @@
+package graft.train
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.index.{Bm25Index, Bm25Params}
+import graft.query.{Bm25IndexTables, Bm25Search}
+
+/** Training-data assembly — the lexical, Spark-native analog of the
+  * reference's training loop plumbing (SURVEY §2 J5/J9/A11/T5). The
+  * neural forward/backward itself stays out of scope; everything the
+  * trainer does to DATA — triple selection, batch assembly, in-batch
+  * negative score matrices, loss reductions, length-sorted batching with
+  * its reverse permutation — is reproduced as oracle-checkable
+  * DataFrame operators.
+  *
+  * Scale shape: triples/batches are per-query small (nway ≤ 8 rows per
+  * query), so every join against the corpus keeps the triple side
+  * broadcast; the only corpus-scale scans are the doc-text join
+  * (one pass, broadcast probe) and the length stats (one projection).
+  */
+object Training {
+
+  /** Batch-by-length + reverse permutation (SURVEY §2.3 T5; reference
+    * `_sort_by_length` + `_split_into_batches`,
+    * colbert/modeling/tokenization/utils.py:70-85, undone via
+    * `reverse_indices` at colbert/modeling/checkpoint.py:156-175): within
+    * each encoder call-batch ("chunk") of `chunkSize` consecutive docs,
+    * docs are ordered by (token length asc, doc_id asc) — torch's stable
+    * sort — then split into `bsize` batches; `restore_pos` is the
+    * original position within the chunk, i.e. the reverse permutation
+    * that un-sorts the encoded output.
+    *
+    * Windows partition by chunk (bounded `chunkSize` rows each), so the
+    * sort parallelizes across chunks — no global sort at any scale. */
+  def lengthBatches(docs: DataFrame, chunkSize: Int = 256, bsize: Int = 32): DataFrame = {
+    require(chunkSize % bsize == 0, s"chunkSize $chunkSize must be a multiple of bsize $bsize")
+    val perChunk = chunkSize / bsize
+    val wSort = Window.partitionBy(col("chunk_id")).orderBy(col("dl").asc, col("doc_id").asc)
+    val wOrig = Window.partitionBy(col("chunk_id")).orderBy(col("doc_id").asc)
+    Bm25Index.docStats(docs)
+      .withColumn("chunk_id", floor(col("doc_id") / chunkSize).cast("bigint"))
+      .withColumn("sorted_pos", row_number().over(wSort) - 1)
+      .withColumn("restore_pos", row_number().over(wOrig) - 1)
+      .select(
+        col("doc_id"),
+        col("dl"),
+        (col("chunk_id") * perChunk + floor(col("sorted_pos") / bsize)).cast("bigint")
+          .as("batch_id"),
+        (col("sorted_pos") % bsize).cast("int").as("pos_in_batch"),
+        col("restore_pos").cast("int").as("restore_pos"))
+  }
+
+  /** Derive training triples from a ranking + qrels (the data the
+    * reference's triples file carries, consumed at
+    * colbert/training/lazy_batcher.py:57-79): per query, way 0 = the
+    * best-ranked RELEVANT doc, ways 1..nway-1 = the top-ranked
+    * non-relevant docs in rank order; each triple row keeps the ranking's
+    * score as the distillation target (the reference's per-pid
+    * `scores`, lazy_batcher.py:70-72). Queries with no relevant doc in
+    * the ranking produce no triples (no positive → no training example).
+    *
+    * Input `ranking`: (qid, doc_id, rank, score); `qrels`: (qid, doc_id).
+    * Windows partition by qid — ranking depth is k rows per query. */
+  def triplesFromRanking(ranking: DataFrame, qrels: DataFrame, nway: Int): DataFrame = {
+    val rel = qrels.select(col("qid"), col("doc_id"))
+    val byRank = Window.partitionBy(col("qid")).orderBy(col("rank").asc)
+    val pos = ranking.join(rel, Seq("qid", "doc_id"), "left_semi")
+      .withColumn("pr", row_number().over(byRank))
+      .filter(col("pr") === 1)
+      .select(col("qid"), lit(0).as("way"), col("doc_id"), col("score"))
+    val negs = ranking.join(rel, Seq("qid", "doc_id"), "left_anti")
+      .withColumn("nr", row_number().over(byRank))
+      .filter(col("nr") <= nway - 1)
+      .select(col("qid"), col("nr").as("way"), col("doc_id"), col("score"))
+      .join(pos.select(col("qid")), Seq("qid"), "left_semi")
+    pos.unionByName(negs)
+  }
+
+  /** Training batch assembly (SURVEY §2.4 J5; reference triples ⋈
+    * queries ⋈ collection, lazy_batcher.py:57-79: `self.queries[qid]`,
+    * `self.collection[pid]`): each triple row joined to its query text
+    * and passage text. Text is carried as md5 so the batch stays
+    * hash-comparable; the join itself is the operator.
+    *
+    * The corpus-side join probes `docs` with the BROADCAST triple set —
+    * one corpus pass regardless of batch count. */
+  def assembleBatch(triples: DataFrame, queries: DataFrame, docs: DataFrame): DataFrame = {
+    val withQuery = triples
+      .join(broadcast(queries.select(col("qid"), md5(col("text")).as("query_md5"))), "qid")
+    docs.select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .join(broadcast(withQuery), "doc_id")
+      .select(col("qid"), col("way"), col("doc_id"), col("query_md5"), col("text_md5"))
+  }
+
+  /** In-batch-negative score matrix (SURVEY §2.4 J9; reference
+    * `compute_ib_loss`'s Q×D cross scoring,
+    * colbert/modeling/colbert.py:71-87): every batch query scored against
+    * every DISTINCT batch passage, minus each query's own negatives (the
+    * reference's `all_except_self_negatives` keeps the own positive and
+    * all other queries' passages); pairs sharing no term score 0. `label`
+    * = 1 on the query's own positive — the CE target position.
+    *
+    * Decode is restricted to the batch's docs (broadcast semi-join), so
+    * the matrix costs one bounded posting probe, not a corpus scan. */
+  def inBatchScores(queries: DataFrame, triples: DataFrame, index: Bm25IndexTables,
+                    p: Bm25Params = Bm25Params()): DataFrame = {
+    val batchDocs = triples.select(col("doc_id")).distinct()
+    val qids = triples.select(col("qid")).distinct()
+    val qterms = Bm25Search.compileQueries(
+      queries.join(qids, Seq("qid"), "left_semi"), index.termStats)
+    val decoded = index.decode(
+        index.blocks.join(broadcast(qterms.select(col("term_id")).distinct()), "term_id"))
+      .join(broadcast(batchDocs), Seq("doc_id"), "left_semi")
+    val scored = Bm25Search.scores(Bm25Search.hits(qterms, decoded, index.corpusStats, p))
+    val ownNegs = triples.filter(col("way") > 0).select(col("qid"), col("doc_id"))
+    val ownPos = triples.filter(col("way") === 0)
+      .select(col("qid"), col("doc_id"), lit(1).as("label"))
+    qids.crossJoin(batchDocs)
+      .join(ownNegs, Seq("qid", "doc_id"), "left_anti")
+      .join(scored, Seq("qid", "doc_id"), "left")
+      .join(ownPos, Seq("qid", "doc_id"), "left")
+      .select(col("qid"), col("doc_id"),
+        coalesce(col("score"), lit(0.0)).as("score"),
+        coalesce(col("label"), lit(0)).as("label"))
+  }
+
+  /** Flipr-style student scores (sum of each doc's top-`topTerms` term
+    * partials, colbert.py:172-185) for exactly the given (query, doc)
+    * pairs — the distillation student in [[losses]]; [[Bm25Search.searchFlipr]]
+    * is the same reduce followed by top-k. */
+  def fliprScoresFor(queries: DataFrame, docIds: DataFrame, index: Bm25IndexTables,
+                     topTerms: Int = 2, p: Bm25Params = Bm25Params()): DataFrame = {
+    val qterms = Bm25Search.compileQueries(queries, index.termStats)
+    val decoded = index.decode(
+        index.blocks.join(broadcast(qterms.select(col("term_id")).distinct()), "term_id"))
+      .join(broadcast(docIds.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+    Bm25Search.hits(qterms, decoded, index.corpusStats, p)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("partial"), col("term_id"))),
+        asc = false).as("ps"))
+      .select(col("qid"), col("doc_id"),
+        expr(s"aggregate(slice(ps, 1, $topTerms), 0d, (acc, x) -> acc + x.partial)")
+          .as("student_score"))
+  }
+
+  /** Loss reductions (SURVEY §2.5 A11; reference training.py:159-196):
+    * per query,
+    *  - `ce_nway`: cross-entropy over the nway (pos, negs...) student
+    *    scores with the positive as the label (training.py:168's
+    *    `nn.CrossEntropyLoss()(scores.view(-1, nway), labels)`);
+    *  - `kl_distill`: KL(teacher ‖ student) between the softmaxed
+    *    teacher scores (the ranking's full-BM25 scores — the analog of
+    *    the triples file's target_scores) and the student distribution
+    *    (training.py:160-166's log_softmax + KLDivLoss); the batchmean
+    *    reduction is the mean of this column;
+    *  - `ib_ce`: cross-entropy over the in-batch candidate row from
+    *    [[inBatchScores]] with the own positive as the label
+    *    (compute_ib_loss, colbert.py:71-87).
+    *
+    * All softmaxes are max-shifted; score inputs are pre-rounded to 4
+    * decimals so both engines of the correctness gate exponentiate
+    * IDENTICAL doubles; folds run in canonical order (way asc / doc_id
+    * asc) so the sums are layout-stable.
+    *
+    * `nway`: (qid, way, teacher, student); `ib`: [[inBatchScores]] rows. */
+  def losses(nway: DataFrame, ib: DataFrame): DataFrame = {
+    val nloss = nway
+      .select(col("qid"), col("way"),
+        round(col("student"), 4).as("s"), round(col("teacher"), 4).as("t"))
+      .groupBy(col("qid"))
+      .agg(sort_array(collect_list(struct(col("way"), col("s"), col("t")))).as("xs"))
+      .select(col("qid"),
+        expr("xs[0].s").as("s_pos"),
+        expr("transform(xs, x -> x.s)").as("ss"),
+        expr("transform(xs, x -> x.t)").as("ts"))
+      .withColumn("m_s", expr("array_max(ss)"))
+      .withColumn("m_t", expr("array_max(ts)"))
+      .withColumn("zs", expr("aggregate(ss, 0d, (a, x) -> a + exp(x - m_s))"))
+      .withColumn("zt", expr("aggregate(ts, 0d, (a, x) -> a + exp(x - m_t))"))
+      .select(col("qid"),
+        (-(col("s_pos") - col("m_s") - log(col("zs")))).as("ce_nway"),
+        expr("""aggregate(
+                  zip_with(ss, ts, (sv, tv) ->
+                    exp(tv - m_t) / zt *
+                      ((tv - m_t - ln(zt)) - (sv - m_s - ln(zs)))),
+                  0d, (a, x) -> a + x)""").as("kl_distill"))
+    val iloss = ib
+      .select(col("qid"), col("doc_id"), round(col("score"), 4).as("s"), col("label"))
+      .groupBy(col("qid"))
+      .agg(
+        sort_array(collect_list(struct(col("doc_id"), col("s")))).as("xs"),
+        max(when(col("label") === 1, col("s"))).as("s_pos"))
+      .select(col("qid"), col("s_pos"), expr("transform(xs, x -> x.s)").as("ss"))
+      .withColumn("m", expr("array_max(ss)"))
+      .withColumn("z", expr("aggregate(ss, 0d, (a, x) -> a + exp(x - m))"))
+      .select(col("qid"), (-(col("s_pos") - col("m") - log(col("z")))).as("ib_ce"))
+    nloss.join(iloss, "qid")
+  }
+}
