@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.index.{IndexBuilder, IndexUpdater}
-import graft.query.{Bm25Search, RankingIO}
+import graft.query.{Bm25Search, RankingIO, SearchSession}
+import graft.serving.SearchHttpServer
 
 /** spark-submit entry point (north rule: "run via spark-submit on a
   * multi-executor cluster"). In cluster mode the session comes from
@@ -16,6 +17,7 @@ import graft.query.{Bm25Search, RankingIO}
   *   add     --index <indexDir> --pages <parquet>
   *   remove  --index <indexDir> --ids <comma-separated docIds>
   *   compact --index <indexDir> --out <dir>
+  *   serve   --index <indexDir> [--port <p>]   (HTTP /api/search frontend)
   *   demo    [--docs <n>]   (synthesize, build, search, print top ranks)
   */
 object Main {
@@ -51,7 +53,7 @@ object Main {
     else spark.read.parquet(path)
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: graft.Main <index|search|add|remove|compact|demo> [--opts]")
+    require(args.nonEmpty, "usage: graft.Main <index|search|add|remove|compact|serve|demo> [--opts]")
     val cmd = args.head
     val opts = parseArgs(args.tail.toSeq)
     val spark = sparkSession()
@@ -85,6 +87,16 @@ object Main {
       case "compact" =>
         IndexUpdater.compact(spark, opts("index"), opts("out"))
         println(s"[graft] compacted into ${opts("out")}")
+
+      case "serve" =>
+        // the reference's server.py: one long-lived searcher behind HTTP
+        // (server.py:19-44); here a warm SearchSession behind the JDK server
+        val session = SearchSession.open(spark, opts("index"))
+        val server = SearchHttpServer.start(session,
+          port = opts.getOrElse("port", "8893").toInt)
+        println(s"[graft] serving http://127.0.0.1:${server.port}/api/search?query=...&k=10")
+        try Thread.currentThread().join() // serve until the JVM is killed
+        finally { server.stop(); session.close() }
 
       case "demo" =>
         val n = opts.getOrElse("docs", "10000").toLong
