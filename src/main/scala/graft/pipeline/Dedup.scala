@@ -98,12 +98,15 @@ object Dedup {
     * Pairs are generated from ONE grouped pass per bucket (no self-join
     * re-evaluating the signature pipeline). `maxBucket` drops pathological
     * boilerplate buckets (a bucket of size m emits m(m−1)/2 pairs —
-    * unbounded skew without the cap). */
+    * unbounded skew without the cap); the collect itself is buffer-capped
+    * at maxBucket+1 ([[BoundedCollect]]) so an over-cap bucket never
+    * materializes beyond the cap in ANY buffer, map-side or reduce-side. */
   def minhashPairs(docs: DataFrame, n: Int = 3, maxBucket: Int = 1000): DataFrame =
     minhashBands(docs, n)
       .groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+      .agg(BoundedCollect.longs(maxBucket)(col("doc_id")).as("raw"))
+      .filter(size(col("raw")).between(2, maxBucket))
+      .select(sort_array(col("raw")).as("ids"))
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1),
           |  a -> transform(slice(ids, a + 1, size(ids) - a),
@@ -149,8 +152,13 @@ object Dedup {
         col("ch.cpos").as("cpos"), col("ch.cval").as("cval"))
     chunked
       .groupBy(col("cpos"), col("cval"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("hi"), col("lo")))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+      // buffer-capped collect (see minhashPairs): the struct fields come
+      // back as _1/_2/_3, renamed by the transform below
+      .agg(BoundedCollect.longs3(maxBucket)(col("doc_id"), col("hi"), col("lo")).as("raw"))
+      .filter(size(col("raw")).between(2, maxBucket))
+      .select(expr(
+        """transform(sort_array(raw),
+          |  x -> struct(x._1 AS doc_id, x._2 AS hi, x._3 AS lo))""".stripMargin).as("ids"))
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1),
           |  a -> transform(slice(ids, a + 1, size(ids) - a),
@@ -183,11 +191,13 @@ object Dedup {
         explode(array_distinct(shingles(Tokenizer.tokenizeDoc(col("text")), n))).as("s"))
     val grouped = sh
       .groupBy(col("s"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) <= maxShingleDf)
+      // buffer-capped collect (see minhashPairs): a boilerplate shingle
+      // with df 10^8 costs maxShingleDf+1 buffer entries, not 10^8
+      .agg(BoundedCollect.longs(maxShingleDf)(col("doc_id")).as("raw"))
+      .filter(size(col("raw")) <= maxShingleDf)
       // both consumers (sizes + pair counts) branch off the same
       // groupBy(s) exchange — Spark reuses the shuffle (ReusedExchange)
-      .select(col("ids"))
+      .select(sort_array(col("raw")).as("ids"))
     val sizes = grouped
       .select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))

@@ -75,6 +75,20 @@ class PipelineSpec extends AnyFunSuite {
     (0L until 10L).foreach(i => assert(noCap.contains((i, 300L + i))))
   }
 
+  test("bounded collect: an over-cap bucket drops without truncating survivors") {
+    // one boilerplate cluster of 40 clones (every band bucket overflows a
+    // cap of 8) plus one small cluster of 3 clones: the big cluster must
+    // vanish entirely while the small one still yields ALL 3 of its pairs
+    // — i.e. the capped buffer never truncates a SURVIVING bucket.
+    val rows =
+      (0L until 40L).map(i => (i, "alpha beta gamma delta epsilon zeta eta theta")) ++
+      (100L until 103L).map(i => (i, "iota kappa lambda mu nu xi omicron pi rho"))
+    val d = rows.toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(d, maxBucket = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 101L), (100L, 102L), (101L, 102L)))
+  }
+
   test("hash sampling/mixing: deterministic, rate-accurate, shuffle-free") {
     import java.security.MessageDigest
     val n = 4000L
