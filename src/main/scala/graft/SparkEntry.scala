@@ -122,6 +122,17 @@ object SparkEntry {
     }
   private val TrainNway = 4
 
+  /** In-batch-negative score matrix shared by train_ib_scores (which
+    * emits it) and train_losses (whose ib_ce term consumes it) — the
+    * reference scores each batch once and feeds the same tensor to both
+    * reductions (colbert.py:71-87 → training.py:159-196). */
+  private val ibScoresCache = new SessionCache[DataFrame]
+  private def ibScoresFor(s: SparkSession, dir: String): DataFrame =
+    ibScoresCache.getOrElseUpdate(s, dir) {
+      Training.inBatchScores(flagshipQueriesDf(s), triplesFor(s, dir), indexFor(s, dir))
+        .persist()
+    }
+
   // -- persisted index fixtures -----------------------------------------
   // The oracle-gated PERSISTED path (VERDICT r1 item 1): the 4-stage
   // IndexBuilder build + parquet In-filter search, and the updater's
@@ -463,7 +474,7 @@ object SparkEntry {
     // in-batch-negative Q×D score matrix, own negatives excluded
     // (compute_ib_loss, colbert/modeling/colbert.py:71-87)
     "train_ib_scores" -> ((s, dir) =>
-      Training.inBatchScores(flagshipQueriesDf(s), triplesFor(s, dir), indexFor(s, dir))
+      ibScoresFor(s, dir)
         .select(col("qid"), col("doc_id"),
           round(col("score"), 4).as("score"), col("label"))),
 
@@ -478,7 +489,7 @@ object SparkEntry {
         .join(student, Seq("qid", "doc_id"))
         .select(col("qid"), col("way"),
           col("score").as("teacher"), col("student_score").as("student"))
-      val ib = Training.inBatchScores(flagshipQueriesDf(s), trip, indexFor(s, dir))
+      val ib = ibScoresFor(s, dir)
       Training.losses(nway, ib)
         .select(col("qid"),
           round(col("ce_nway"), 4).as("ce_nway"),
