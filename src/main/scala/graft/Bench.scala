@@ -327,7 +327,12 @@ Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
          |node: GC/JIT/pool threads sized to the node, not the machine) and
          |heap scaled at 2 GB/core (N vs 4N executors means 4x the
          |aggregate memory; a fixed heap would bill the high-core run 4x
-         |the GC pressure); build time = min of 7 in-session builds after a
+         |the GC pressure); shuffle compression off in BOTH arms (a
+         |local-mode shuffle never crosses a network — lz4 would spend
+         |CPU and memory-bus bandwidth, the contended resource at full
+         |width, to shrink page-cache writes; a real multi-node cluster
+         |keeps it on for network shuffles);
+         |build time = min of 7 in-session builds after a
          |1/10-scale JIT warmup build (this VM shows episodic ~30-60s
          |contention windows running identical builds ~2x slow — the min
          |over 7 lands outside them). Target: efficiency >= 0.8.

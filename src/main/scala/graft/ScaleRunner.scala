@@ -49,6 +49,14 @@ object ScaleRunner {
       .config("spark.sql.shuffle.partitions", (mult * cpus).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local-mode shuffle never crosses a network: lz4-compressing it
+      // only spends CPU and memory-bus bandwidth (the contended resource
+      // at full machine width) to shrink writes to the page cache.
+      // Measured at 1M docs: blocks stage 24.8->20.9 s @8, 8.3->7.2 s @32.
+      // A real multi-node cluster SHOULD keep compression on for its
+      // network shuffles; this conf models a node-local NVMe shuffle,
+      // applied identically to both arms of the pair.
+      .config("spark.shuffle.compress", "false")
       // ride out long GC pauses instead of expiring the local executor
       .config("spark.network.timeout", "600s")
       .config("spark.executor.heartbeatInterval", "60s")
