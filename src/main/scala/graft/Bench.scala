@@ -23,9 +23,10 @@ import org.apache.spark.sql.SparkSession
   *      - build time = min of 7 in-session builds, after a 1/10-scale
   *        warmup build (sheds JIT convergence and the VM's episodic
   *        contention windows in which identical builds run ~2x slow);
-  *      - the primary local[2] vs local[8] pair runs THREE consecutive
-  *        times (reproducibility evidence, not one lucky roll); the
-  *        full-machine local[8] vs local[32] pair runs once.
+  *      - BOTH pairs (primary local[2] vs local[8], full-machine
+  *        local[8] vs local[32]) run THREE consecutive times each
+  *        (reproducibility evidence, not one lucky roll) with
+  *        per-arm minima pooled across runs.
   * 2. per-query wall time of every SparkEntry query on $SPARK_GRAFT_SF_DIR
   *    (the driver contract).
   *
@@ -207,6 +208,7 @@ ${if (w.tWand < w.tFull) f"win ${w.tFull / w.tWand}%.1f×" else f"LOSS ${w.tWand
     val docsA = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "600000").toLong
     val docsB = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS2", "1000000").toLong
     val pairARuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt
+    val pairBRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE2_RUNS", "3").toInt
 
     // Parent session: synthesize both scale corpora ONCE (fast at
     // local[32]; children read identical parquet bytes) and run the
@@ -217,7 +219,7 @@ ${if (w.tWand < w.tFull) f"win ${w.tFull / w.tWand}%.1f×" else f"LOSS ${w.tWand
     val spark = session(cpus)
     val pagesDirA = Files.createTempDirectory("graft-bench-pages-a").toString
     val pagesDirB = Files.createTempDirectory("graft-bench-pages-b").toString
-    val (results, fixtures, pairsA, pairB, wand) =
+    val (results, fixtures, pairsA, pairsB, wand) =
       try {
         corpus.Synthesizer.pages(spark, docsA, 128).write.mode("overwrite").parquet(pagesDirA)
         corpus.Synthesizer.pages(spark, docsB, 128).write.mode("overwrite").parquet(pagesDirB)
@@ -248,12 +250,15 @@ ${if (w.tWand < w.tFull) f"win ${w.tFull / w.tWand}%.1f×" else f"LOSS ${w.tWand
           sys.env.getOrElse("SPARK_GRAFT_WAND_DOCS", "6000000").toLong,
           sys.env.getOrElse("SPARK_GRAFT_WAND_VOCAB", "2000000").toInt)
 
-        // scaling evidence — primary pair ×3 (reproducibility), full-
-        // machine pair ×1; arms alternate 2,8,2,8,... so the VM's episodic
-        // contention windows land on both arms
+        // scaling evidence — BOTH pairs ×3: arms alternate 2,8,2,8,...
+        // so the VM's episodic contention windows land on both arms, and
+        // pooling each arm's minima across runs dodges windows longer
+        // than one fork (a single-run 8v32 pair measured 0.565 and 0.718
+        // on the identical code hours apart — the pair needs the same
+        // estimator the primary pair gets)
         val pairsA = (1 to pairARuns).map(_ => runPair(2, 8, docsA, pagesDirA))
-        val pairB = runPair(8, 32, docsB, pagesDirB)
-        (results, fixtures, pairsA, pairB, wand)
+        val pairsB = (1 to pairBRuns).map(_ => runPair(8, 32, docsB, pagesDirB))
+        (results, fixtures, pairsA, pairsB, wand)
       } finally {
         // a failed child must not leak the multi-GB temp corpora
         Seq(pagesDirA, pagesDirB).foreach(deleteRecursively)
@@ -262,30 +267,37 @@ ${if (w.tWand < w.tFull) f"win ${w.tFull / w.tWand}%.1f×" else f"LOSS ${w.tWand
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val fx = fixtures.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val effRuns = pairsA.map(_.eff).sorted
-    val effMedian = effRuns(effRuns.size / 2)
-    val pairAMed = pairsA.sortBy(_.eff).apply(pairsA.size / 2)
     // headline estimator: min build time per ARM across every fork of that
     // arm (3 forks × min-of-7 builds = min of 21). Each fork's min-of-7
     // already estimates the uncontended build; pooling the arms' minima
     // extends the same estimator past fork-length contention windows that
     // a single fork cannot dodge. Per-run pair efficiencies stay in the
     // artifact as the reproducibility evidence.
-    val pairABest = pairAMed.copy(
-      tLow = pairsA.map(_.tLow).min, tHigh = pairsA.map(_.tHigh).min,
-      qLow = pairsA.map(_.qLow).min, qHigh = pairsA.map(_.qHigh).min,
-      p50Low = pairsA.map(_.p50Low).min, p50High = pairsA.map(_.p50High).min)
+    def pooled(pairs: Seq[Pair]): Pair =
+      pairs.sortBy(_.eff).apply(pairs.size / 2).copy(
+        tLow = pairs.map(_.tLow).min, tHigh = pairs.map(_.tHigh).min,
+        qLow = pairs.map(_.qLow).min, qHigh = pairs.map(_.qHigh).min,
+        p50Low = pairs.map(_.p50Low).min, p50High = pairs.map(_.p50High).min)
+    def median(pairs: Seq[Pair]): Double =
+      pairs.map(_.eff).sorted.apply(pairs.size / 2)
+    val effRuns = pairsA.map(_.eff).sorted
+    val effMedian = median(pairsA)
+    val pairABest = pooled(pairsA)
+    val pairBBest = pooled(pairsB)
+    val effMedianB = median(pairsB)
     def pairJson(tag: String, p: Pair, extra: String = ""): String =
       f""""$tag":{"cores":"${p.nLow}v${p.nHigh}","n_docs":${p.docs},""" +
       f""""build_sec_low":${p.tLow}%.2f,"build_sec_high":${p.tHigh}%.2f,""" +
       f""""docs_per_sec_low":${p.tpLow}%.1f,"docs_per_sec_high":${p.tpHigh}%.1f,""" +
       f""""efficiency":${p.eff}%.3f,"query_batch40_sec_high":${p.qHigh}%.2f,""" +
       f""""query_p50_sec_high":${p.p50High}%.4f$extra}"""
-    val runsJson = pairsA.map(p => f"${p.eff}%.3f").mkString("[", ",", "]")
+    def runsJson(pairs: Seq[Pair]) =
+      pairs.map(p => f"${p.eff}%.3f").mkString("[", ",", "]")
     val scaling =
       s"""{${pairJson("n_vs_4n", pairABest,
-        f""","efficiency_runs":$runsJson,"efficiency_median":$effMedian%.3f""")},""" +
-      s"""${pairJson("full_machine", pairB)}}"""
+        f""","efficiency_runs":${runsJson(pairsA)},"efficiency_median":$effMedian%.3f""")},""" +
+      s"""${pairJson("full_machine", pairBBest,
+        f""","efficiency_runs":${runsJson(pairsB)},"efficiency_median":$effMedianB%.3f""")}}"""
     val wandJson = wand match {
       case Some(w) =>
         f""""wand_regime":{"n_pages":${w.nDocs},"vocab":${w.vocab},""" +
@@ -309,7 +321,7 @@ ${if (w.tWand < w.tFull) f"win ${w.tFull / w.tWand}%.1f×" else f"LOSS ${w.tWand
 | local[${p.nHigh}] | ${p.tHigh}%.2f | ${p.tpHigh}%.1f | ${p.qHigh}%.2f | ${p.p50High * 1000}%.0f |
 
 Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
-    val runsMd = pairsA.zipWithIndex.map { case (p, i) =>
+    def runsMd(pairs: Seq[Pair]): String = pairs.zipWithIndex.map { case (p, i) =>
       f"| run ${i + 1} | ${p.tLow}%.2f | ${p.tHigh}%.2f | ${p.tpLow}%.1f | ${p.tpHigh}%.1f | **${p.eff}%.3f** |"
     }.mkString("\n")
     val bench =
@@ -360,7 +372,17 @@ Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
          |shared memory bus of this VM — the closer analog of adding
          |executor NODES (each with its own memory bandwidth).
          |
-         |### Secondary pair: local[8] vs local[32] (${pairB.docs} docs)
+         |### Secondary pair: local[8] vs local[32] (${pairsB.head.docs} docs) — ${pairsB.size} consecutive protocol runs
+         |
+         || run | build sec @8 | build sec @32 | docs/sec @8 | docs/sec @32 | efficiency |
+         || --- | --- | --- | --- | --- | --- |
+         |@RUNS_B@
+         |
+         |Pooled minimum (same estimator as the primary pair —
+         |single-run 8v32 pairs measured 0.565 and 0.718 on identical
+         |code hours apart, so this pair needs the multi-run pooling
+         |too): efficiency **${pairBBest.eff}%.3f**, median
+         |**$effMedianB%.3f**.
          |
          || parallelism | build sec | docs/sec | 40-query batch sec | single-query p50 ms |
          || --- | --- | --- | --- | --- |
@@ -401,9 +423,10 @@ Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
          |@QUERIES@
          || **total** | **$total%.3f** |
          |""".stripMargin
-        .replace("@RUNS@", runsMd)
+        .replace("@RUNS@", runsMd(pairsA))
+        .replace("@RUNS_B@", runsMd(pairsB))
         .replace("@PAIR_A@", pairMd(pairABest))
-        .replace("@PAIR_B@", pairMd(pairB))
+        .replace("@PAIR_B@", pairMd(pairBBest))
         .replace("@WAND@", wandMd(wand, cpus))
         .replace("@FIXTURES@",
           fixtures.map { case (k, v) => f"| $k | $v%.3f |" }.mkString("\n"))

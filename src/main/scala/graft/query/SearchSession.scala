@@ -203,8 +203,16 @@ object SearchSession {
     // literals instead of scheduling a cache-scan job every query
     val statsLocal = spark.createDataFrame(
       java.util.Arrays.asList(idx.corpusStats.collect(): _*), idx.corpusStats.schema)
+    // blocks are cached in FEW partitions too: a point query's decode job
+    // otherwise schedules one task per source parquet file (32 at full
+    // machine width — measured 404 ms of a ~600 ms query in the 32-task
+    // scan stage), while cached-batch min/max stats prune the non-probed
+    // term ranges wherever the partition bounds land. One executor-node's
+    // worth of parallelism is plenty for a k-row point lookup; corpus-
+    // scale batches bypass the session path entirely (collectBatch gate).
+    val servePartitions = math.max(8, spark.sparkContext.defaultParallelism / 4)
     val warm = idx.copy(
-      blocks = idx.blocks.persist(),
+      blocks = idx.blocks.coalesce(servePartitions).persist(),
       termStats = idx.termStats.coalesce(4).persist(),
       corpusStats = statsLocal)
     warm.blocks.count(); warm.termStats.count(); warm.corpusStats.count()
