@@ -13,6 +13,8 @@ import graft.serving.SearchHttpServer
   *
   * Commands:
   *   index   --pages <parquet> --out <indexDir> [--no-audit]
+  *           [--buckets <B>]  (hive-partition blocks by pmod(term_id, B)
+  *                             for query-time directory pruning)
   *   search  --index <indexDir> --queries <tsv|parquet> --k <n> --out <dir>
   *   add     --index <indexDir> --pages <parquet>
   *   remove  --index <indexDir> --ids <comma-separated docIds>
@@ -62,6 +64,7 @@ object Main {
       case "index" =>
         val reports = IndexBuilder.build(spark,
           spark.read.parquet(opts("pages")), opts("out"),
+          graft.index.Bm25Params(termBuckets = opts.getOrElse("buckets", "0").toInt),
           auditExtraction = !opts.contains("no-audit"))
         reports.foreach(r => println(
           f"[graft] stage=${r.stage} rows=${r.rows} skipped=${r.skipped} sec=${r.seconds}%.1f snapshot=${r.snapshotId}%016x"))

@@ -193,6 +193,21 @@ object SparkEntry {
     openResident(s, s"base:$dir")(IndexBuilder.open(s, idxDir))
   }
 
+  /** The same corpus built with the BUCKETED blocks layout
+    * (term_buckets=16, blocks hive-partitioned by pmod(term_id, 16)):
+    * the query probe's derived bucket filter prunes whole directories
+    * before any parquet footer is read. Same ranking as the flat
+    * persisted index — the layout changes I/O, never results. */
+  private def bucketedIndexFor(s: SparkSession, dir: String): Bm25IndexTables = {
+    val idxDir = builtIndexCache.getOrElseUpdate(s"bkt:$dir", {
+      val d = entryTmpRoot.resolve(s"bktidx-${math.abs(dir.hashCode)}").toString
+      IndexBuilder.build(s, pagesFromDocuments(s, dir, lit(true)), d,
+        graft.index.Bm25Params(termBuckets = 16), auditExtraction = false)
+      d
+    })
+    openResident(s, s"bkt:$dir")(IndexBuilder.open(s, idxDir))
+  }
+
   /** Base build over the first 60% of docs, the rest added as an updater
     * SEGMENT, docs with doc_id % 10 == 7 tombstoned — the merged live set
     * is exactly `documents WHERE doc_id % 10 <> 7` with original ids
@@ -241,6 +256,7 @@ object SparkEntry {
     }
     Seq(
       timed("persisted_index_build") { persistedIndexFor(s, dir); () },
+      timed("bucketed_index_build") { bucketedIndexFor(s, dir); () },
       timed("updated_index_build") { updatedIndexFor(s, dir); () },
       timed("compacted_index_build") { compactedIndexFor(s, dir); () },
       // shared in-memory fixtures: the session index, the reused rankings
@@ -330,6 +346,15 @@ object SparkEntry {
     // (collection_indexer.py:346-356, index_loader.py:29-58)
     "bm25_topk_persisted" -> ((s, dir) =>
       Bm25Search.searchPersisted(flagshipQueriesDf(s), persistedIndexFor(s, dir), 10)
+        .select(col("qid"), col("doc_id"), col("rank"),
+          round(col("score"), 4).as("score"))),
+
+    // same result through the BUCKETED persisted layout (blocks
+    // hive-partitioned by pmod(term_id, 16)): the probe's derived bucket
+    // In-filter is a PARTITION filter — whole term-hash directories are
+    // pruned before any footer is read (SCALE.md §layout)
+    "bm25_topk_bucketed" -> ((s, dir) =>
+      Bm25Search.searchPersisted(flagshipQueriesDf(s), bucketedIndexFor(s, dir), 10)
         .select(col("qid"), col("doc_id"), col("rank"),
           round(col("score"), 4).as("score"))),
 
@@ -704,6 +729,7 @@ object SparkEntry {
          |SELECT qid, doc_id, rank, round(score, 4) AS score
          |FROM franked WHERE rank <= 10""".stripMargin,
     "bm25_topk_persisted" -> Bm25TopkSql,
+    "bm25_topk_bucketed" -> Bm25TopkSql,
     "bm25_topk_updated" -> Bm25TopkUpdatedSql,
     "bm25_topk_compacted" -> Bm25TopkCompactedSql,
 

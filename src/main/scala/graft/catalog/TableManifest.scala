@@ -117,19 +117,28 @@ object TableManifest {
   }
 
   /** Per-file lineage from the committed Parquet footers: row counts come
-    * from file metadata (no data scan). */
+    * from file metadata (no data scan). Recursive, so hive-partitioned
+    * layouts (e.g. the bucketed blocks stage's bucket=N dirs) report every
+    * data file; paths are recorded relative to the table root (identical
+    * to the bare file name on flat layouts, so existing snapshot ids are
+    * unchanged). */
   def lineageOf(spark: org.apache.spark.sql.SparkSession, tableDir: String): Seq[FileLineage] = {
     val hconf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(tableDir)
     val fs = p.getFileSystem(hconf)
     if (!fs.exists(p)) return Seq.empty
-    fs.listStatus(p).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
-      .map { st =>
+    val root = fs.makeQualified(p).toString.stripSuffix("/") + "/"
+    val it = fs.listFiles(p, true)
+    val out = scala.collection.mutable.ArrayBuffer[FileLineage]()
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
         val rows = org.apache.parquet.hadoop.ParquetFileReader
           .readFooter(hconf, st.getPath).getBlocks.asScala.map(_.getRowCount).sum
-        FileLineage(st.getPath.getName, rows, st.getLen)
+        val rel = fs.makeQualified(st.getPath).toString.stripPrefix(root)
+        out += FileLineage(rel, rows, st.getLen)
       }
+    }
+    out.sortBy(_.path).toSeq
   }
 }

@@ -13,9 +13,16 @@ import graft.codec.VarintExpressions._
   * [[Bm25Index.termId]]). 0 = unsalted. The build audits id injectivity
   * over the vocabulary and fails fast on a collision — rebuild with a
   * different seed (recorded in the stage manifest config).
+  *
+  * `termBuckets`: 0 (default) = flat blocks layout; > 0 = the blocks
+  * stage is additionally hive-partitioned by `bucket =
+  * pmod(term_id, termBuckets)`, so a query-time term probe prunes whole
+  * DIRECTORIES before any parquet footer is read (see
+  * [[graft.index.IndexBuilder]] and SCALE.md §layout). Opt-in because it
+  * costs the build one extra exchange of the compressed blocks.
   */
 case class Bm25Params(k1: Double = 0.9, b: Double = 0.4, blockSpan: Long = 8192,
-                      termIdSeed: Int = 0)
+                      termIdSeed: Int = 0, termBuckets: Int = 0)
 
 /** Inverted-index build as composable DataFrame transforms.
   *

@@ -84,6 +84,7 @@ object IndexBuilder {
     "k1" -> p.k1.toString, "b" -> p.b.toString,
     "block_span" -> p.blockSpan.toString,
     "term_id_seed" -> p.termIdSeed.toString,
+    "term_buckets" -> p.termBuckets.toString,
     "tokenizer" -> "lower;split=[^\\p{L}\\p{Nd}]+;doc_max=220;query_max=32",
     "lang_filter" -> "en", "format" -> "parquet+graft-manifest-v1")
 
@@ -100,7 +101,9 @@ object IndexBuilder {
         return BuildReport(stage, skipped = true, m.rows, m.snapshotId)
     }
     val t0 = System.nanoTime()
-    compute.write.mode("overwrite").parquet(dir)
+    val writer = compute.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(dir)
     val lineage = TableManifest.lineageOf(spark, dir)
     val m = TableManifest(stage, parentSnapshot, lineage.map(_.rows).sum, lineage, config)
     TableManifest.commit(dir, m)
@@ -182,7 +185,15 @@ object IndexBuilder {
     // -- blocks -----------------------------------------------------------
     val blocksParent = TableManifest.snapshotId("chain", docsReport.snapshotId,
       statsReport.snapshotId, Seq.empty, Map.empty)
-    val blocksReport = runStage(spark, indexDir, "blocks", blocksParent, baseCfg) {
+    // an EMPTY corpus writes the flat layout even when buckets are
+    // requested: a partitioned write of zero rows leaves no schema-bearing
+    // file behind, so the committed table could not be re-opened (open()
+    // tolerates the downgrade — it enables bucket pruning only when the
+    // read-back table actually carries the partition column)
+    val bucketed = p.termBuckets > 0 &&
+      corpus.select(col("n_docs")).head.getLong(0) > 0L
+    val blocksReport = runStage(spark, indexDir, "blocks", blocksParent, baseCfg,
+        partitionCols = if (bucketed) Seq("bucket") else Seq.empty) {
       // The raw postings NEVER materialize: the tokenize → term_counts →
       // explode projection feeds the blocks exchange directly, so the
       // build's largest intermediate exists only as shuffle files —
@@ -207,8 +218,22 @@ object IndexBuilder {
       // never used, so any finite stand-in is correct.
       val avgdlRow = corpus.select(col("avgdl")).head
       val avgdl = if (avgdlRow.isNullAt(0)) 1.0 else avgdlRow.getDouble(0)
-      Bm25Index.blocksAgg(Bm25Index.postingsWithDl(docs), avgdl, p)
-        .sortWithinPartitions(col("term_id"), col("block_no"))
+      val encoded = Bm25Index.blocksAgg(Bm25Index.postingsWithDl(docs), avgdl, p)
+      if (bucketed)
+        // Bucketed layout (opt-in, p.termBuckets > 0): hive-partition the
+        // table by bucket = pmod(term_id, B) so a query probe prunes whole
+        // DIRECTORIES (partition pruning) before any footer is read — at
+        // a 100 TB blocks table the flat layout still lists and
+        // footer-reads every file just to apply row-group stats. Range
+        // partitioning on (bucket, term_id, block_no) gives each write
+        // task a contiguous bucket range (≈⌈B/parts⌉+1 open writers, no
+        // small-file explosion) — this extra exchange of the compressed
+        // blocks is exactly the cost that keeps the layout opt-in.
+        encoded
+          .withColumn("bucket", pmod(col("term_id"), lit(p.termBuckets)).cast("int"))
+          .repartitionByRange(parts, col("bucket"), col("term_id"), col("block_no"))
+          .sortWithinPartitions(col("bucket"), col("term_id"), col("block_no"))
+      else encoded.sortWithinPartitions(col("term_id"), col("block_no"))
     }
     reports += blocksReport
 
@@ -239,16 +264,24 @@ object IndexBuilder {
   }
 
   /** Open a committed index for querying. Fails fast if any stage manifest
-    * is missing (partial build). */
+    * is missing (partial build). On a bucketed layout (term_buckets > 0 in
+    * the blocks manifest) the returned tables carry the bucket count so
+    * query-time term probes add the partition-pruning bucket filter —
+    * downgraded to 0 if the read-back table lacks the partition column
+    * (empty-corpus builds fall back to the flat layout). */
   def open(spark: SparkSession, indexDir: String): Bm25IndexTables = {
     Stages.foreach { s =>
       require(TableManifest.exists(stageDir(indexDir, s)),
         s"index stage '$s' not committed at $indexDir")
     }
+    val blocks = spark.read.parquet(stageDir(indexDir, "blocks"))
+    val buckets = TableManifest.read(stageDir(indexDir, "blocks"))
+      .config.getOrElse("term_buckets", "0").toInt
     Bm25IndexTables(
-      blocks = spark.read.parquet(stageDir(indexDir, "blocks")),
+      blocks = blocks,
       termStats = spark.read.parquet(stageDir(indexDir, "termstats")),
-      corpusStats = spark.read.parquet(stageDir(indexDir, "corpusstats")))
+      corpusStats = spark.read.parquet(stageDir(indexDir, "corpusstats")),
+      termBuckets = if (blocks.columns.contains("bucket")) buckets else 0)
   }
 
   /** Stage manifests, in build order (for lineage reporting / tests). */

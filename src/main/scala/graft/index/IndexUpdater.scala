@@ -68,7 +68,8 @@ object IndexUpdater {
       k1 = cfg.get("k1").fold(d.k1)(_.toDouble),
       b = cfg.get("b").fold(d.b)(_.toDouble),
       blockSpan = cfg.get("block_span").fold(d.blockSpan)(_.toLong),
-      termIdSeed = cfg.get("term_id_seed").fold(d.termIdSeed)(_.toInt))
+      termIdSeed = cfg.get("term_id_seed").fold(d.termIdSeed)(_.toInt),
+      termBuckets = cfg.get("term_buckets").fold(d.termBuckets)(_.toInt))
   }
 
   /** Index `pages` as a new segment; docIds continue after the current max
@@ -305,9 +306,15 @@ object IndexUpdater {
   }
 
   /** Fold base + segments − tombstones into a fresh base index at
-    * `targetDir` (reference persist_to_disk; the SPIMI re-merge). */
+    * `targetDir` (reference persist_to_disk; the SPIMI re-merge).
+    * Passing the default `p` inherits the source index's params (same
+    * pattern as [[add]] — a compaction that silently reset blockSpan or
+    * the bucketed layout would degrade the index it rewrites); an
+    * explicit `p` re-keys deliberately (compaction IS a fresh build, so
+    * divergence is legal here). */
   def compact(spark: SparkSession, indexDir: String, targetDir: String,
               p: Bm25Params = Bm25Params()): Unit = {
+    val params = if (p == Bm25Params()) paramsOf(indexDir) else p
     val allDirs = indexDir +: segmentDirs(indexDir)
     val docs = allDirs.map(d => spark.read.parquet(IndexBuilder.stageDir(d, "docs")))
       .reduce(_ unionByName _)
@@ -319,6 +326,6 @@ object IndexUpdater {
     // pages-shaped frame (html not retained in docs; audit is skipped)
     val pages = live.select(col("url"), col("warc_ts"),
       lit(Array.emptyByteArray).as("html"), col("text"), col("lang"))
-    IndexBuilder.build(spark, pages, targetDir, p, auditExtraction = false)
+    IndexBuilder.build(spark, pages, targetDir, params, auditExtraction = false)
   }
 }

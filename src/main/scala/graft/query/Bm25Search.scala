@@ -216,7 +216,7 @@ object Bm25Search {
   def searchPersistedCompiled(qterms: DataFrame, index: Bm25IndexTables, k: Int,
                               p: Bm25Params = Bm25Params()): DataFrame = {
     val ids = qterms.select(col("term_id")).collect().map(_.getLong(0)).distinct.toSeq
-    val decoded = index.decode(index.blocks.filter(col("term_id").isin(ids: _*)))
+    val decoded = index.decode(index.probeBlocks(ids))
     topK(scores(hits(qterms, decoded, index.corpusStatsLocal, p)), k)
   }
 
@@ -462,7 +462,7 @@ object Bm25Search {
     // the same tiny broadcast (3 actions × job + broadcast per call). The
     // In-filter also pushes into the parquet scan on the persisted path.
     val ids = qterms.select(col("term_id")).collect().map(_.getLong(0)).distinct.toSeq
-    val probed = index.blocks.filter(col("term_id").isin(ids: _*))
+    val probed = index.probeBlocks(ids)
     // Materialize the candidate set ONCE: the stage-C plan consumes it
     // TWICE (block_no semi-join for the decode + the per-qid survival
     // filter), and as a lazy subtree each use would re-run stages A+B —
@@ -653,7 +653,25 @@ case class Bm25IndexTables(
     corpusStats: DataFrame,
     tombstones: Option[Tombstones] = None,
     wandBoundScale: Double = 1.0,
-    maxDocIdHint: Option[Long] = None) {
+    maxDocIdHint: Option[Long] = None,
+    termBuckets: Int = 0) {
+
+  /** Blocks rows for a driver-compiled probe id set. On a bucketed layout
+    * ([[graft.index.Bm25Params.termBuckets]] > 0) the term ids' derived
+    * bucket set becomes a PARTITION filter: only the probed term-hash
+    * directories are even listed, so at a 100 TB blocks table the scan
+    * planner touches ~|query terms|/B of the files' footers instead of
+    * all of them. The term_id In-filter still pushes into the row-group
+    * stats within the surviving directories (flat-layout behavior). */
+  def probeBlocks(termIds: Seq[Long]): DataFrame = {
+    val byTerm = col("term_id").isin(termIds: _*)
+    if (termBuckets > 0 && termIds.nonEmpty) {
+      // same value as the build's pmod(term_id, B)
+      val bs = termIds.map(id => (((id % termBuckets) + termBuckets) % termBuckets).toInt)
+        .distinct
+      blocks.filter(col("bucket").isin(bs: _*) && byTerm)
+    } else blocks.filter(byTerm)
+  }
 
   /** Doc-ID SPAN of the index — what block numbering actually covers
     * (block_no = doc_id/blockSpan). The live count under-states it on

@@ -166,6 +166,55 @@ class IndexBuilderSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("In(term_id"), plan)
   }
 
+  test("bucketed layout: identical results, real partition pruning, full lineage") {
+    val flatDir = tmpDir(); val bktDir = tmpDir()
+    IndexBuilder.build(spark, pages, flatDir)
+    IndexBuilder.build(spark, pages, bktDir, Bm25Params(termBuckets = 8))
+
+    // layout on disk: hive bucket=N dirs, manifest lineage covers them all
+    val m = TableManifest.read(IndexBuilder.stageDir(bktDir, "blocks"))
+    assert(m.files.nonEmpty && m.files.forall(_.path.startsWith("bucket=")),
+      s"expected bucket=N partition dirs in lineage, got ${m.files.map(_.path).take(3)}")
+    assert(m.rows == m.files.map(_.rows).sum)
+
+    val flat = IndexBuilder.open(spark, flatDir)
+    val bkt = IndexBuilder.open(spark, bktDir)
+    assert(flat.termBuckets == 0 && bkt.termBuckets == 8)
+
+    // identical rankings on both layouts, both search paths
+    val queries = Synthesizer.queries(spark, 25, NDocs)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid"), col("doc_id"), col("rank"), col("score"))
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(rows(Bm25Search.searchPersisted(queries, bkt, 10)) ==
+      rows(Bm25Search.searchPersisted(queries, flat, 10)))
+    assert(rows(Bm25Search.searchPersistedWand(queries, bkt, 10)) ==
+      rows(Bm25Search.searchPersistedWand(queries, flat, 10)))
+
+    // the probe's bucket filter is a PARTITION filter (pruned before any
+    // footer read), not just a pushed data filter
+    val ids = bkt.termStats.filter(col("term").isin("w1", "w2"))
+      .select(col("term_id")).as[Long].collect().toSeq
+    val scan = bkt.probeBlocks(ids).queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in probe plan"))
+    assert(scan.partitionFilters.exists(_.toString.contains("bucket")),
+      s"no bucket partition filter: ${scan.partitionFilters}")
+    val expected = ids.map(id => (((id % 8) + 8) % 8).toInt).distinct.size
+    assert(scan.selectedPartitions.partitionCount == expected,
+      s"scanned ${scan.selectedPartitions.partitionCount} partitions, expected $expected of 8")
+  }
+
+  test("bucketed build of an empty corpus downgrades to the flat layout and still opens") {
+    val dir = tmpDir()
+    IndexBuilder.build(spark, pages.withColumn("lang", lit("xx")), dir,
+      Bm25Params(termBuckets = 8), auditExtraction = false)
+    val index = IndexBuilder.open(spark, dir)
+    assert(index.termBuckets == 0)
+    val queries = Seq((0L, "anything at all")).toDF("qid", "text")
+    assert(Bm25Search.searchPersisted(queries, index, 5).count() == 0L)
+  }
+
   test("build at different parallelism yields identical postings + identical search results") {
     val dirA = tmpDir(); val dirB = tmpDir()
     IndexBuilder.build(spark, pages, dirA, partitions = 3)
