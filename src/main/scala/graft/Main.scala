@@ -18,7 +18,9 @@ import graft.serving.SearchHttpServer
   *   search  --index <indexDir> --queries <tsv|parquet> --k <n> --out <dir>
   *   add     --index <indexDir> --pages <parquet>
   *   remove  --index <indexDir> --ids <comma-separated docIds>
-  *   compact --index <indexDir> --out <dir>
+  *   compact --index <indexDir> --out <dir> [--if-over <n>]
+  *           (--if-over: only compact past n update segments — the
+  *            scheduled-cadence form; prints SKIPPED otherwise)
   *   serve   --index <indexDir> [--port <p>]   (HTTP /api/search frontend)
   *   demo    [--docs <n>]   (synthesize, build, search, print top ranks)
   */
@@ -88,8 +90,15 @@ object Main {
         println(s"[graft] tombstoned ${ids.size} docIds")
 
       case "compact" =>
-        IndexUpdater.compact(spark, opts("index"), opts("out"))
-        println(s"[graft] compacted into ${opts("out")}")
+        opts.get("if-over").map(_.toInt) match {
+          case Some(cap) =>
+            if (IndexUpdater.compactIfNeeded(spark, opts("index"), opts("out"), cap))
+              println(s"[graft] compacted into ${opts("out")} (segments > $cap)")
+            else println(s"[graft] SKIPPED: segment count within $cap")
+          case None =>
+            IndexUpdater.compact(spark, opts("index"), opts("out"))
+            println(s"[graft] compacted into ${opts("out")}")
+        }
 
       case "serve" =>
         // the reference's server.py: one long-lived searcher behind HTTP

@@ -305,6 +305,28 @@ object IndexUpdater {
       maxDocIdHint = Some(maxDocId(spark, indexDir)))
   }
 
+  /** Query-time merge cost grows with segment count (a union of scans per
+    * open); past this many segments the amortized rewrite wins — the
+    * compaction-cadence knob from SCALE.md, as code. ~32 matches one
+    * segment per streaming micro-batch over a typical watch window before
+    * the reference would persist_to_disk. */
+  val DefaultMaxSegments = 32
+
+  /** True when `indexDir` has accumulated more than `maxSegments` update
+    * segments (driver-side directory listing — no Spark job). */
+  def needsCompaction(indexDir: String, maxSegments: Int = DefaultMaxSegments): Boolean =
+    segmentDirs(indexDir).size > maxSegments
+
+  /** [[compact]] iff [[needsCompaction]] — the scheduled-cadence entry
+    * point (streaming ingest or a cron caller invokes this after every
+    * batch; it is a no-op until the segment count crosses the threshold).
+    * Returns true iff a compaction ran. */
+  def compactIfNeeded(spark: SparkSession, indexDir: String, targetDir: String,
+                      maxSegments: Int = DefaultMaxSegments): Boolean =
+    if (needsCompaction(indexDir, maxSegments)) {
+      compact(spark, indexDir, targetDir); true
+    } else false
+
   /** Fold base + segments − tombstones into a fresh base index at
     * `targetDir` (reference persist_to_disk; the SPIMI re-merge).
     * Passing the default `p` inherits the source index's params (same

@@ -41,13 +41,22 @@ object StreamingIngest {
 
   /** Build segment `seg-stream-<batchId>` from one micro-batch. Replays
     * overwrite the same segment with the same docIds (offset excludes the
-    * segment itself), so the operation is idempotent. */
+    * segment itself), so the operation is idempotent. The segment is built
+    * with the BASE index's params (same inheritance `IndexUpdater.add`
+    * enforces — a default-params segment under a base with a different
+    * blockSpan/termIdSeed/bucketing would break the merged reader); a
+    * stream ingesting into an EMPTY dir (no base yet) uses the defaults. */
   def ingestBatch(spark: SparkSession, indexDir: String, batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
     val segName = f"seg-stream-$batchId%06d"
     val segDir = s"$indexDir/updates/$segName"
     val offset = maxDocIdExcluding(spark, indexDir, segDir) + 1
-    IndexBuilder.build(spark, batch, segDir, docIdOffset = offset, auditExtraction = false)
+    val params =
+      if (graft.catalog.TableManifest.exists(IndexBuilder.stageDir(indexDir, "blocks")))
+        IndexUpdater.paramsOf(indexDir)
+      else graft.index.Bm25Params()
+    IndexBuilder.build(spark, batch, segDir, params, docIdOffset = offset,
+      auditExtraction = false)
   }
 
   private def maxDocIdExcluding(spark: SparkSession, indexDir: String, excludeDir: String): Long = {

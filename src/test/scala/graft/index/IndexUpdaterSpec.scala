@@ -181,4 +181,25 @@ class IndexUpdaterSpec extends AnyFunSuite {
       spark.read.parquet(IndexBuilder.stageDir(compactDir, "docs")))
     assert(got == want)
   }
+
+  test("compaction cadence: compactIfNeeded is a no-op below the segment threshold") {
+    val dir = tmp()
+    IndexBuilder.build(spark, basePages, dir, Bm25Params(blockSpan = 64))
+    IndexUpdater.add(spark, dir, extraPages)
+    IndexUpdater.add(spark, dir,
+      extraPages.withColumn("url", concat(col("url"), lit("/v2"))))
+    assert(IndexUpdater.segmentDirs(dir).size == 2)
+    assert(!IndexUpdater.needsCompaction(dir, maxSegments = 2))
+    assert(IndexUpdater.needsCompaction(dir, maxSegments = 1))
+
+    val skipTarget = tmp()
+    assert(!IndexUpdater.compactIfNeeded(spark, dir, skipTarget, maxSegments = 2))
+    assert(!graft.catalog.TableManifest.exists(IndexBuilder.stageDir(skipTarget, "docs")))
+
+    val target = tmp()
+    assert(IndexUpdater.compactIfNeeded(spark, dir, target, maxSegments = 1))
+    assert(IndexUpdater.segmentDirs(target).isEmpty)
+    // default-p compact inherits the source's non-default params
+    assert(IndexUpdater.paramsOf(target) == Bm25Params(blockSpan = 64))
+  }
 }

@@ -84,6 +84,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(second == first, "replay must reproduce identical docIds")
   }
 
+  test("streamed segments inherit the base index's non-default params") {
+    val dir = Files.createTempDirectory("graft-stream-p").toString
+    val p = graft.index.Bm25Params(blockSpan = 64)
+    IndexBuilder.build(spark, Synthesizer.pages(spark, 50, 2), dir, p,
+      auditExtraction = false)
+    StreamingIngest.ingestBatch(spark, dir,
+      Synthesizer.pages(spark, 30, 2, seed = 7L)
+        .withColumn("url", regexp_replace(col("url"), "example/", "example/s/")),
+      batchId = 0L)
+    val seg = IndexUpdater.segmentDirs(dir).head
+    assert(IndexUpdater.paramsOf(seg) == p,
+      s"segment params ${IndexUpdater.paramsOf(seg)} != base $p")
+  }
+
   test("crawl stats: event-time windows aggregate per host; watermark drops late rows") {
     implicit val sql = spark.sqlContext
     val stream = MemoryStream[Page]
