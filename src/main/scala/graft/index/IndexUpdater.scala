@@ -189,9 +189,22 @@ object IndexUpdater {
     // union: the dictionary string `term` rides on new-format block rows
     // for build-time audit / termstats derivation only, and a base built
     // before it existed must still union with new-format segments (the
-    // same old-format tolerance corpusstats and tombstones get below)
-    val blockCols = Seq("term_id", "block_no", "n", "doc_ids_enc", "tfs_enc",
-      "dls_enc", "block_max_tfnorm").map(col)
+    // same old-format tolerance corpusstats and tombstones get below).
+    // The bucketed layout's partition column survives the union iff EVERY
+    // dir is bucketed with the SAME count (add() enforces this for new
+    // segments; a pre-bucketing segment under a later-bucketed base would
+    // lack the column) — then merged probes keep directory pruning across
+    // base + segments; any mismatch downgrades to the flat probe.
+    val perDirBuckets = allDirs.map { d =>
+      val dir = IndexBuilder.stageDir(d, "blocks")
+      val b = TableManifest.read(dir).config.getOrElse("term_buckets", "0").toInt
+      if (b > 0 && spark.read.parquet(dir).columns.contains("bucket")) b else 0
+    }
+    val mergedBuckets =
+      if (perDirBuckets.distinct.size == 1) perDirBuckets.head else 0
+    val baseCols = Seq("term_id", "block_no", "n", "doc_ids_enc", "tfs_enc",
+      "dls_enc", "block_max_tfnorm")
+    val blockCols = (if (mergedBuckets > 0) baseCols :+ "bucket" else baseCols).map(col)
     val blocks = allDirs.map(d =>
         spark.read.parquet(IndexBuilder.stageDir(d, "blocks")).select(blockCols: _*))
       .reduce(_ unionByName _)
@@ -302,7 +315,8 @@ object IndexUpdater {
     // merged indexes: tombstones and filtered segments leave doc-id holes,
     // so the live count under-states how many blocks the numbering spans
     Bm25IndexTables(blocks, termStats, corpus, tombs, scale,
-      maxDocIdHint = Some(maxDocId(spark, indexDir)))
+      maxDocIdHint = Some(maxDocId(spark, indexDir)),
+      termBuckets = mergedBuckets)
   }
 
   /** Query-time merge cost grows with segment count (a union of scans per

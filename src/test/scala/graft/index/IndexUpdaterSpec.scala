@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
+import graft.catalog.TableManifest
 import graft.corpus.Synthesizer
 import graft.query.Bm25Search
 
@@ -180,6 +181,31 @@ class IndexUpdaterSpec extends AnyFunSuite {
     val got = byUrl(Bm25Search.searchFull(queries, compacted, 10),
       spark.read.parquet(IndexBuilder.stageDir(compactDir, "docs")))
     assert(got == want)
+  }
+
+  test("bucketed base + segment + tombstones: merged keeps bucket pruning and exact results") {
+    val p = Bm25Params(blockSpan = 16, termBuckets = 8)
+    val dir = tmp()
+    IndexBuilder.build(spark, basePages, dir, p)
+    IndexUpdater.add(spark, dir, extraPages) // inherits the base's buckets
+    IndexUpdater.remove(spark, dir, Seq(2L, 4L, 8L))
+    val merged = IndexUpdater.openMerged(spark, dir)
+    assert(merged.termBuckets == 8,
+      "uniformly bucketed base+segments must keep partition pruning when merged")
+    // merged probe ≡ merged full scan (the layout changes I/O, not rows)
+    val got = byUrl(Bm25Search.searchPersisted(queries, merged, 10, p), mergedDocs(dir))
+    val want = byUrl(Bm25Search.searchFull(queries, merged, 10, p), mergedDocs(dir))
+    assert(got == want)
+
+    // a FLAT extra dir breaks uniformity → downgrade to the flat probe,
+    // same rows. (Simulated by clearing the segment's bucket config: real
+    // mixed layouts only arise from pre-bucketing segments.)
+    val segBlocks = IndexBuilder.stageDir(IndexUpdater.segmentDirs(dir).head, "blocks")
+    val m = TableManifest.read(segBlocks)
+    TableManifest.commit(segBlocks, m.copy(config = m.config + ("term_buckets" -> "0")))
+    val downgraded = IndexUpdater.openMerged(spark, dir)
+    assert(downgraded.termBuckets == 0)
+    assert(byUrl(Bm25Search.searchPersisted(queries, downgraded, 10, p), mergedDocs(dir)) == want)
   }
 
   test("compaction cadence: compactIfNeeded is a no-op below the segment threshold") {
