@@ -226,6 +226,30 @@ object SparkEntry {
     openResident(s, s"upd:$dir")(IndexUpdater.openMerged(s, idxDir))
   }
 
+  /** Base over the first half of docs built batch, the rest arriving as
+    * TWO streaming micro-batches through `StreamingIngest.ingestBatch`
+    * (the foreachBatch body — segment per batch, idempotent by batch id,
+    * params inherited from the base). docIds continue in url order, so
+    * the live merged set is exactly `documents` with original ids and
+    * the flagship oracle applies unchanged — upgrading St3 (streaming
+    * ingest) from test-gated to oracle-gated. */
+  private def streamedIndexFor(s: SparkSession, dir: String): Bm25IndexTables = {
+    val idxDir = builtIndexCache.getOrElseUpdate(s"strm:$dir", {
+      val docsDf = s.read.parquet(s"$dir/documents.parquet")
+      val half = docsDf.count() / 2
+      val quarter = half + (docsDf.count() - half) / 2
+      val d = entryTmpRoot.resolve(s"strmidx-${math.abs(dir.hashCode)}").toString
+      IndexBuilder.build(s, pagesFromDocuments(s, dir, col("doc_id") < half), d,
+        auditExtraction = false)
+      graft.streaming.StreamingIngest.ingestBatch(s, d,
+        pagesFromDocuments(s, dir, col("doc_id") >= half && col("doc_id") < quarter), 0L)
+      graft.streaming.StreamingIngest.ingestBatch(s, d,
+        pagesFromDocuments(s, dir, col("doc_id") >= quarter), 1L)
+      d
+    })
+    openResident(s, s"strm:$dir")(IndexUpdater.openMerged(s, idxDir))
+  }
+
   /** The updated fixture folded into a FRESH base index (segments and
     * tombstones gone, docIds re-densified in url order — compaction is
     * the amortization knob the update path relies on at scale, SCALE.md
@@ -258,6 +282,7 @@ object SparkEntry {
       timed("persisted_index_build") { persistedIndexFor(s, dir); () },
       timed("bucketed_index_build") { bucketedIndexFor(s, dir); () },
       timed("updated_index_build") { updatedIndexFor(s, dir); () },
+      timed("streamed_index_build") { streamedIndexFor(s, dir); () },
       timed("compacted_index_build") { compactedIndexFor(s, dir); () },
       // shared in-memory fixtures: the session index, the reused rankings
       // and the trained IVF model are amortized across many queries in a
@@ -355,6 +380,14 @@ object SparkEntry {
     // pruned before any footer is read (SCALE.md §layout)
     "bm25_topk_bucketed" -> ((s, dir) =>
       Bm25Search.searchPersisted(flagshipQueriesDf(s), bucketedIndexFor(s, dir), 10)
+        .select(col("qid"), col("doc_id"), col("rank"),
+          round(col("score"), 4).as("score"))),
+
+    // the corpus ingested 50% batch + 2 STREAMING micro-batches
+    // (StreamingIngest.ingestBatch segments), searched through the merged
+    // reader — streaming ≡ batch, oracle-exact (SURVEY §2.10 St3)
+    "bm25_topk_streamed" -> ((s, dir) =>
+      Bm25Search.searchPersisted(flagshipQueriesDf(s), streamedIndexFor(s, dir), 10)
         .select(col("qid"), col("doc_id"), col("rank"),
           round(col("score"), 4).as("score"))),
 
@@ -730,6 +763,7 @@ object SparkEntry {
          |FROM franked WHERE rank <= 10""".stripMargin,
     "bm25_topk_persisted" -> Bm25TopkSql,
     "bm25_topk_bucketed" -> Bm25TopkSql,
+    "bm25_topk_streamed" -> Bm25TopkSql,
     "bm25_topk_updated" -> Bm25TopkUpdatedSql,
     "bm25_topk_compacted" -> Bm25TopkCompactedSql,
 
