@@ -52,7 +52,6 @@ object BucketProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "48g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

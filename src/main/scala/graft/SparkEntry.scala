@@ -235,9 +235,9 @@ object SparkEntry {
     * ingest) from test-gated to oracle-gated. */
   private def streamedIndexFor(s: SparkSession, dir: String): Bm25IndexTables = {
     val idxDir = builtIndexCache.getOrElseUpdate(s"strm:$dir", {
-      val docsDf = s.read.parquet(s"$dir/documents.parquet")
-      val half = docsDf.count() / 2
-      val quarter = half + (docsDf.count() - half) / 2
+      val n = s.read.parquet(s"$dir/documents.parquet").count()
+      val half = n / 2
+      val quarter = half + (n - half) / 2
       val d = entryTmpRoot.resolve(s"strmidx-${math.abs(dir.hashCode)}").toString
       IndexBuilder.build(s, pagesFromDocuments(s, dir, col("doc_id") < half), d,
         auditExtraction = false)

@@ -45,9 +45,12 @@ case class Bm25Params(k1: Double = 0.9, b: Double = 0.4, blockSpan: Long = 8192,
   *   explicit skew handling ("salting" by doc range) required by the north
   *   rule, with the bonus that the salt is semantically meaningful: blocks
   *   align with doc-partitioned query shards.
-  * - Posting blocks are written repartitionByRange(term, block_no) +
-  *   sortWithinPartitions so parquet row-group min/max stats on `term`
-  *   give query-time partition pruning (the IVF-probe analog).
+  * - Posting blocks keep the groupBy(term_id, block_no) hash layout (an
+  *   extra range exchange would re-sample the aggregate — SURVEY §8.1)
+  *   and are sortWithinPartitions(term_id, block_no), so parquet
+  *   row-group min/max stats on term_id give query-time pruning (the
+  *   IVF-probe analog); Bm25Params.termBuckets upgrades this to
+  *   directory-level partition pruning.
   */
 object Bm25Index {
 

@@ -224,14 +224,19 @@ object IndexBuilder {
         // table by bucket = pmod(term_id, B) so a query probe prunes whole
         // DIRECTORIES (partition pruning) before any footer is read — at
         // a 100 TB blocks table the flat layout still lists and
-        // footer-reads every file just to apply row-group stats. Range
-        // partitioning on (bucket, term_id, block_no) gives each write
-        // task a contiguous bucket range (≈⌈B/parts⌉+1 open writers, no
-        // small-file explosion) — this extra exchange of the compressed
-        // blocks is exactly the cost that keeps the layout opt-in.
+        // footer-reads every file just to apply row-group stats. HASH
+        // repartition on bucket alone (NOT repartitionByRange: range
+        // sampling re-executes the reduce side of the fused aggregate —
+        // the same double-execution round 1 removed from the flat
+        // layout): each task owns ≈B/parts WHOLE buckets → one writer
+        // and one output file per bucket, no small-file explosion. Per-
+        // bucket row counts are ~totalBlocks/B (term→bucket is a hash),
+        // so the extra exchange is balanced; pick B ≥ write parallelism.
+        // This one extra exchange of the compressed blocks is exactly
+        // the cost that keeps the layout opt-in.
         encoded
           .withColumn("bucket", pmod(col("term_id"), lit(p.termBuckets)).cast("int"))
-          .repartitionByRange(parts, col("bucket"), col("term_id"), col("block_no"))
+          .repartition(parts, col("bucket"))
           .sortWithinPartitions(col("bucket"), col("term_id"), col("block_no"))
       else encoded.sortWithinPartitions(col("term_id"), col("block_no"))
     }
