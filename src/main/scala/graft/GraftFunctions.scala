@@ -50,6 +50,11 @@ object GraftFunctions {
     "graft_varint_encode" -> { case Seq(c) => VarintEncodeInts(c) },
     "graft_varint_decode" -> { case Seq(c) => VarintDecodeInts(c) },
     "graft_byte_stats" -> { case Seq(c) => ByteStatsExpr(c) },
+    "graft_lsh_buckets" -> {
+      case Seq(c, t, b) =>
+        graft.pipeline.LshBucketsExpr(c, intArg(t, "tables"), intArg(b, "bits"))
+      case _ => throw new IllegalArgumentException("graft_lsh_buckets(embedding, tables, bits)")
+    },
     "graft_block_encode" -> {
       case Seq(entries, avgdl, k1, b) =>
         BlockEncodeExpr(entries, avgdl, doubleArg(k1, "k1"), doubleArg(b, "b"))

@@ -488,6 +488,11 @@ object SparkEntry {
       Similarity.ivfTopK(embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 10, 4,
         ivfFor(s, dir))),
 
+    // hyperplane-LSH bucketed ANN: the training-free scale path (4
+    // tables × 6 sign bits; exact-integer bucketing, see LshSignature)
+    "ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 10, 4, 6)),
+
     // ---- text analysis ----
     "text_token_counts" -> ((s, dir) => TextStats.tokenCounts(docs(s, dir))),
 
@@ -496,6 +501,9 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => TextStats.langId(docs(s, dir))),
 
     "text_fingerprint" -> ((s, dir) => TextStats.fingerprints(docs(s, dir))),
+
+    // Gopher-style repetition ratios (Rae et al. 2021 table A1)
+    "text_repetition" -> ((s, dir) => TextStats.repetition(docs(s, dir))),
 
     // exact interpolated quantiles per source (SURVEY §2.5 A6 analog:
     // the reference's residual-quantile bucketing as corpus statistics)
@@ -995,6 +1003,54 @@ object SparkEntry {
          |)
          |SELECT qid, vec_id, rank, round(sim, 4) AS sim FROM r WHERE rank <= 10""".stripMargin,
 
+    // mirror of Similarity.lshTopK / LshSignature (4 tables × 6 bits):
+    // exact-integer sign projections — floor(emb·10⁴) fixed point, Knuth
+    // multiplicative weight bits — so buckets match Spark bit-for-bit
+    "ann_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |         list_transform(embedding::DOUBLE[],
+         |                        x -> CAST(floor(x * 10000.0) AS BIGINT)) AS ei
+         |  FROM embeddings
+         |), ex AS (
+         |  SELECT vec_id, len(ei) AS dim,
+         |         unnest(generate_series(1, len(ei))) AS d, ei
+         |  FROM e
+         |), planes AS (
+         |  SELECT t, h
+         |  FROM (SELECT unnest(generate_series(0, 3)) AS t),
+         |       (SELECT unnest(generate_series(0, 5)) AS h)
+         |), proj AS (
+         |  SELECT x.vec_id, p.t, p.h,
+         |         sum((2 * (((((p.t * 6 + p.h) * x.dim + (x.d - 1)) * 2654435761)
+         |                    % 4294967296 >> 16) & 1) - 1) * x.ei[x.d]) AS pr
+         |  FROM ex x, planes p
+         |  GROUP BY 1, 2, 3
+         |), buckets AS (
+         |  SELECT vec_id, t,
+         |         sum(CASE WHEN pr >= 0 THEN (1::BIGINT << h) ELSE 0 END) AS bucket
+         |  FROM proj GROUP BY 1, 2
+         |), qb AS (
+         |  SELECT vec_id AS qid, t, bucket FROM buckets
+         |  WHERE vec_id IN (0, 1, 2, 3, 4)
+         |), cand AS (
+         |  SELECT DISTINCT q.qid, b.vec_id
+         |  FROM qb q JOIN buckets b USING (t, bucket)
+         |  WHERE b.vec_id <> q.qid
+         |), s AS (
+         |  SELECT c.qid, c.vec_id,
+         |         list_cosine_similarity(eq.emb, ev.emb) AS sim
+         |  FROM cand c
+         |  JOIN e eq ON eq.vec_id = c.qid
+         |  JOIN e ev ON ev.vec_id = c.vec_id
+         |), r AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, vec_id ASC)::INT AS rank,
+         |         sim
+         |  FROM s
+         |)
+         |SELECT qid, vec_id, rank, round(sim, 4) AS sim FROM r WHERE rank <= 10""".stripMargin,
+
     "text_token_counts" ->
       s"""SELECT doc_id,
          |       len(string_split(text, ' '))::INT AS ws_tokens,
@@ -1044,6 +1100,29 @@ object SparkEntry {
          |SELECT doc_id, fp AS fingerprint,
          |       (strpos('0123456789abcdef', substr(fp, 1, 1)) - 1)::INT AS shard
          |FROM t""".stripMargin,
+
+    // mirror of TextStats.repetition (whitespace tokens; bigram list
+    // guarded for n<2 exactly like the Spark branch)
+    "text_repetition" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), b AS (
+         |  SELECT doc_id, toks, len(toks) AS n,
+         |         CASE WHEN len(toks) >= 2 THEN
+         |           list_transform(range(1, len(toks)),
+         |                          i -> toks[i] || ' ' || toks[i + 1])
+         |         END AS bigrams
+         |  FROM d
+         |)
+         |SELECT doc_id,
+         |       n::INT AS n_tokens,
+         |       round(len(list_distinct(toks)) / greatest(n, 1)::DOUBLE, 6) AS distinct_ratio,
+         |       round(list_max(list_transform(list_distinct(toks),
+         |             t -> len(list_filter(toks, x -> x = t)))) / greatest(n, 1)::DOUBLE, 6) AS top_token_frac,
+         |       CASE WHEN n >= 2 THEN
+         |         round(1.0 - len(list_distinct(bigrams)) / (n - 1)::DOUBLE, 6)
+         |       END AS dup_bigram_frac
+         |FROM b""".stripMargin,
 
     "doc_quantiles" ->
       s"""SELECT source,

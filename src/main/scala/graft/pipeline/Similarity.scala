@@ -203,6 +203,59 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("rank"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Hyperplane-LSH ANN top-k — the training-free bucketed scale path
+    * next to [[ivfTopK]] (which needs a trained model): every vector gets
+    * `tables` sign-projection bucket ids from ONE fused map-phase pass
+    * ([[LshSignature]]), queries probe all their tables' buckets, and
+    * only same-(table, bucket) candidates are scored. Approximate by
+    * design (a cosine-near neighbor agrees on each sign bit w.p. 1−θ/π;
+    * `tables` OR-ed probes recover the tail) — recall vs
+    * [[bruteForceTopK]] is measured in tests; bucketing and tiebreaks are
+    * exact integer math so the oracle matches bit-for-bit.
+    *
+    * Scale shape: the bucket table is N·tables rows built map-side (no
+    * training job, unlike IVF); the tiny query side broadcasts, so
+    * candidate generation is a map-side semi-probe and the only shuffle
+    * is the groupBy over candidate rows (Q·tables·bucket-size, never N). */
+  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+              tables: Int = 4, bits: Int = 6): DataFrame = {
+    val scored = lshCandidateRows(emb, queryIds, tables, bits)
+      .select(col("qid"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 6).desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** The distinct (qid, vec_id) candidate pairs the LSH probe generates —
+    * exactly what [[lshTopK]] scores; exposed so tests and capacity
+    * planning can measure selectivity (candidates / corpus). */
+  def lshCandidates(emb: DataFrame, queryIds: Seq[Long],
+                    tables: Int = 4, bits: Int = 6): DataFrame =
+    lshCandidateRows(emb, queryIds, tables, bits).select(col("qid"), col("vec_id"))
+
+  /** Same-bucket (query, vector) pairs with both embeddings attached, one
+    * row per distinct pair. A pair can collide in several tables — dedup
+    * is ONE grouped first() over the already-joined rows (they carry both
+    * embeddings) instead of a distinct + two joins back to the corpus. */
+  private def lshCandidateRows(emb: DataFrame, queryIds: Seq[Long],
+                               tables: Int, bits: Int): DataFrame = {
+    def buckets(df: DataFrame): DataFrame = df.select(
+      col("vec_id"), col("embedding"),
+      posexplode(LshSignature.lsh_buckets(col("embedding"), tables, bits))
+        .as(Seq("t", "bucket")))
+    val qb = broadcast(
+      buckets(emb.filter(col("vec_id").isin(queryIds: _*)))
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+          col("t"), col("bucket")))
+    buckets(emb).join(qb, Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(first(col("q_emb")).as("q_emb"), first(col("embedding")).as("embedding"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥ τ),
     * blocked by the trained IVF bucket: only same-bucket pairs are
     * compared (candidates outside a bucket are assumed dissimilar; recall

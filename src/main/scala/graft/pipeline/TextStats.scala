@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.analysis.Tokenizer
+import graft.analysis.{TermCounts, Tokenizer}
 
 /** Text-quality analysis for training-data curation: token counting,
   * quality scoring, language ID, content fingerprinting. Everything is a
@@ -75,6 +75,41 @@ object TextStats {
       col("doc_id"),
       when(greatest(scored.map(_.getField("hits")): _*) === 0, "und")
         .otherwise(array_max(array(prioritized: _*)).getField("lang")).as("pred_lang"))
+  }
+
+  /** Repetition signals for quality filtering — the Gopher repetition
+    * rules (Rae et al. 2021, "Scaling Language Models: Methods, Analysis
+    * & Insights from Training Gopher", table A1) made deterministic:
+    * boilerplate and spam pages repeat; these three ratios are what the
+    * published filters threshold on.
+    *
+    *   distinct_ratio   = |distinct tokens| / n   (low ⇒ repetitive)
+    *   top_token_frac   = max token multiplicity / n
+    *   dup_bigram_frac  = 1 − |distinct bigrams| / (n−1)   (null if n<2)
+    *
+    * Whitespace tokens (the same split as `ws_tokens` above). Per-row
+    * projection like the rest of this file — no shuffle, runs at scan
+    * speed; counts come from the fused [[TermCounts.term_counts]] pass
+    * (O(n) map lookups) instead of an O(V·n) filter-per-distinct-token
+    * HOF. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val counts = TermCounts.term_counts(toks)
+    val n = size(toks).cast("double")
+    val bigrams = transform(sequence(lit(1), size(toks) - 1),
+      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      round(size(counts).cast("double") / greatest(n, lit(1.0)), 6)
+        .as("distinct_ratio"),
+      round(array_max(transform(counts, c => c.getField("tf"))).cast("double") /
+        greatest(n, lit(1.0)), 6).as("top_token_frac"),
+      // the branch guards the sequence(): n = 1 would make it descend
+      when(size(toks) >= 2,
+        round(lit(1.0) -
+          size(array_distinct(bigrams)).cast("double") / (n - lit(1.0)), 6))
+        .as("dup_bigram_frac"))
   }
 
   /** Content fingerprint: md5 over canonical tokens (full 128-bit hex) +

@@ -173,6 +173,100 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"recall collapsed: $recall%.3f")
   }
 
+  test("LSH ANN: exact clone is always a candidate and ranks first") {
+    // identical embeddings get identical bucket arrays in every table, so
+    // the clone is a guaranteed candidate — the deterministic core of the
+    // LSH contract (recall on non-identical neighbors is probabilistic,
+    // measured below)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val clone = emb.filter(col("vec_id") === 0L)
+      .select(lit(9999L).as("vec_id"), col("embedding"), col("label"))
+    val res = Similarity.lshTopK(emb.unionByName(clone), Seq(9999L), 5)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(res.nonEmpty && res.head._2 == 0L && res.head._3 == 1,
+      s"clone of vec 0 must rank first, got ${res.toSeq.take(3)}")
+    assert(res.head._4 == 1.0, s"clone cosine must round to 1.0, got ${res.head._4}")
+  }
+
+  test("LSH ANN: planted high-cosine neighbors found; selective and parallelism-invariant") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // plant 10 high-cosine neighbors (deterministic ±0.003 per-dim nudges,
+    // cosine ≈ 0.999): sign-projection LSH promises recall on THIS regime
+    // (dedup-grade similarity, per-bit agreement 1−θ/π ≈ 0.99) — on this
+    // corpus's random-ish "nearest" neighbors (cosine ~0.3, per-bit ~0.6)
+    // no LSH config is both selective and complete, and that recall is
+    // reported below as info, not asserted
+    val planted = emb.filter(col("vec_id") < 10L).select(
+      (col("vec_id") + 9000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x + lit(0.003f) * (pmod(col("vec_id") + i, lit(3)) - 1).cast("float"))
+        .as("embedding"),
+      col("label"))
+    val all = emb.unionByName(planted)
+    val qs = (9000L until 9010L).toSeq
+    val found = Similarity.lshTopK(all, qs, 5)
+      .filter(col("vec_id") === col("qid") - 9000L).count()
+    assert(found == 10L, s"only $found/10 planted neighbors retrieved")
+
+    // selectivity: candidates scanned per query stay a small corpus slice
+    // (the point of 6-bit buckets — ~4·N/64 before table overlap)
+    val candFrac = Similarity.lshCandidates(emb, Seq(0L, 1L, 2L, 3L, 4L))
+      .count().toDouble / (5 * 500)
+    info(f"LSH candidate fraction (4 tables x 6 bits): $candFrac%.3f")
+    assert(candFrac <= 0.3, f"bucketing not selective: $candFrac%.3f")
+
+    // random-data recall, informational (see comment above)
+    val brute = Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 10)
+      .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, Seq(0L, 1L, 2L), 10)
+      .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+    info(f"LSH recall@10 on random-ish neighbors: ${lsh.intersect(brute).size.toDouble / brute.size}%.3f")
+
+    // bucketing is parallelism-invariant (pure per-row integer math):
+    // identical result set at a different partitioning
+    val repart = Similarity.lshTopK(emb.repartition(7), Seq(0L, 1L, 2L), 10)
+      .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+    assert(repart == lsh, "LSH result must not depend on partitioning")
+  }
+
+  test("lsh_buckets: shape, range, and null semantics") {
+    import graft.pipeline.LshSignature.lsh_buckets
+    val df = Seq(
+      (1L, Some(Array(0.5f, -0.25f, 0.125f))),
+      (2L, Some(Array.empty[Float])),
+      (3L, None)
+    ).toDF("id", "embedding")
+    val out = df.select(col("id"), lsh_buckets(col("embedding"), 4, 6).as("b"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    assert(out(2L).isEmpty && out(3L).isEmpty, "empty/null embedding -> null")
+    val b = out(1L).get
+    assert(b.length == 4, "one bucket id per table")
+    assert(b.forall(x => x >= 0L && x < 64L), s"bucket ids must fit 6 bits: $b")
+    // fixed-point floor semantics: scaling inputs by 1e-9 collapses every
+    // ei to 0 or -1 — buckets become input-independent (all-ones or
+    // sign-flip constants), proving the integer pipeline, not float math
+    val tiny = Seq((1L, Array(1e-9f, -1e-9f, 1e-9f))).toDF("id", "embedding")
+      .select(lsh_buckets(col("embedding"), 4, 6)).as[Seq[Long]].head()
+    assert(tiny.length == 4)
+  }
+
+  test("repetition ratios match hand-computed documents") {
+    val df = Seq(
+      (1L, "a a b"),
+      (2L, "a a a"),
+      (3L, "a")
+    ).toDF("doc_id", "text")
+    val got = TextStats.repetition(df)
+      .as[(Long, Int, Double, Double, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    // "a a b": 3 tokens, 2 distinct, top "a" 2/3, bigrams {"a a","a b"} all distinct
+    assert(got(1L) == ((1L, 3, 0.666667, 0.666667, Some(0.0))))
+    // "a a a": bigrams ["a a","a a"] -> 1 distinct of 2 -> dup 0.5
+    assert(got(2L) == ((2L, 3, 0.333333, 1.0, Some(0.5))))
+    // single token: no bigrams -> null
+    assert(got(3L) == ((3L, 1, 1.0, 1.0, None)))
+  }
+
   test("persisted IVF model round-trips and searches identically") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-model").toString
