@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.eval.Metrics
 import graft.index.{Bm25Index, IndexBuilder, IndexUpdater}
 import graft.multimodal.Media
-import graft.pipeline.{Dedup, Sampling, Similarity, TextStats}
+import graft.pipeline.{Dedup, Sampling, Similarity, TextStats, Web}
 import graft.query.{Bm25IndexTables, Bm25Search}
 import graft.train.Training
 
@@ -505,6 +505,35 @@ object SparkEntry {
     // Gopher-style repetition ratios (Rae et al. 2021 table A1)
     "text_repetition" -> ((s, dir) => TextStats.repetition(docs(s, dir))),
 
+    // PII scrub (emails / IPv4 / phone runs) over text with planted PII —
+    // counts from the original text + the redacted text itself
+    "text_pii" -> ((s, dir) => TextStats.piiScrub(piiDocs(s, dir), col("pii_text"))),
+
+    // ---- web-crawl ingestion (input_hint url/warc_ts shape) ----
+    // URL canonicalization + latest-snapshot-wins dedup over the derived
+    // crawl log — the step before any content dedup on a real crawl
+    "web_url_dedup" -> ((s, dir) => Web.latestSnapshots(crawlLog(s, dir))),
+
+    // per-host rollup: snapshots, distinct canonical pages, text volume
+    "web_host_stats" -> ((s, dir) => Web.hostStats(crawlLog(s, dir))),
+
+    // north-rule invariant, oracle-gated: html_extract reproduces `text`
+    // byte-identically from a full page wrapper (head subtree, body
+    // style/script blocks, per-token <p> tags, entities, whitespace runs)
+    "html_extract" -> ((s, dir) => {
+      val wrapped = concat(
+        lit("<html><head><title>t</title><meta charset=\"utf-8\"></head><body>\n" +
+          "  <style>p { color: red }</style>\n  <h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1>\n  <p>"),
+        regexp_replace(col("text"), " ", "</p>\n  <p>"),
+        lit("</p>\n  <script>var x = 1 < 2 && true;</script>\n" +
+          "  <p>tail &amp; end</p>\n</body>\n</html>"))
+      docs(s, dir).select(col("doc_id"),
+        graft.analysis.HtmlExtract.html_extract(encode(wrapped, "UTF-8"))
+          .as("extracted"))
+    }),
+
     // exact interpolated quantiles per source (SURVEY §2.5 A6 analog:
     // the reference's residual-quantile bucketing as corpus statistics)
     "doc_quantiles" -> ((s, dir) =>
@@ -563,6 +592,56 @@ object SparkEntry {
           round(col("ib_ce"), 4).as("ib_ce"))
     })
   )
+
+  /** Synthetic crawl log derived deterministically from `documents`:
+    * page key k = doc_id / 3 (≤3 snapshot rows per page), with cosmetic
+    * URL variants — scheme/host case, `www.`, default ports, tracking
+    * params, fragments, trailing slashes — keyed on doc_id arithmetic so
+    * the oracle derives the EXPECTED canonical form independently (a
+    * closed-form check on the whole regexp chain, not a mirror of it).
+    * warc_ts = epoch + doc_id seconds: strictly increasing snapshots. */
+  private def crawlLog(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val k = (id / 3).cast("long").cast("string")
+    val scheme = when(id % 4 === 1, "HTTPS").when(id % 4 === 2, "http")
+      .otherwise("https")
+    val host = concat(when(id % 2 === 0, "WWW.").otherwise(""),
+      lit("Host"), ((id / 3).cast("long") % 97).cast("string"),
+      lit(".Example.com"))
+    val port = when(id % 5 === 0,
+      when(id % 4 === 2, ":80").otherwise(":443")).otherwise("")
+    val query = when(id % 3 === 1,
+        concat(lit("?utm_source=feed&utm_campaign=c"), (id % 7).cast("string"),
+          lit("&id="), k))
+      .when(id % 3 === 2,
+        concat(lit("?id="), k, lit("&gclid=g"), id.cast("string")))
+      .otherwise("")
+    val frag = when(id % 6 === 1, concat(lit("#sec"), (id % 9).cast("string")))
+      .otherwise(lit(""))
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(id,
+        concat(scheme, lit("://"), host, port, lit("/p/"), k,
+          when(id % 3 =!= 1, "/").otherwise(""), query, frag).as("url"),
+        expr("timestampadd(SECOND, doc_id, TIMESTAMP'2024-01-01 00:00:00')")
+          .as("warc_ts"),
+        col("text"))
+  }
+
+  /** `documents` text with planted PII (email + phone per doc, IPv4 on
+    * every 4th) — the corpus text is PII-free word salad, so the scrub
+    * operator's inputs are derived identically on both engines. */
+  private def piiDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      concat(
+        col("text"),
+        lit(" Contact doc"), col("doc_id").cast("string"),
+        lit("@Mail"), (col("doc_id") % 9).cast("string"),
+        lit(".example.COM or +1-202-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" from 192.168."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") / 7).cast("long") % 256).cast("string")))
+          .otherwise(lit(""))).as("pii_text"))
 
   private def mediaAssets(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -1123,6 +1202,75 @@ object SparkEntry {
          |         round(1.0 - len(list_distinct(bigrams)) / (n - 1)::DOUBLE, 6)
          |       END AS dup_bigram_frac
          |FROM b""".stripMargin,
+
+    // PII scrub mirror: same regexes (RE2/Java common subset), same
+    // replacement order, over the same planted-PII derivation
+    "text_pii" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         text || ' Contact doc' || doc_id::VARCHAR || '@Mail'
+         |              || (doc_id % 9)::VARCHAR || '.example.COM or +1-202-555-'
+         |              || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         |              || (CASE WHEN doc_id % 4 = 0
+         |                       THEN ' from 192.168.' || (doc_id % 256)::VARCHAR
+         |                            || '.' || ((doc_id // 7) % 256)::VARCHAR
+         |                       ELSE '' END) AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |       len(regexp_extract_all(t, '${TextStats.EmailRe}'))::INT AS n_emails,
+         |       len(regexp_extract_all(t, '${TextStats.Ipv4Re}'))::INT AS n_ips,
+         |       len(regexp_extract_all(t, '${TextStats.PhoneRe}'))::INT AS n_phones,
+         |       regexp_replace(regexp_replace(regexp_replace(t,
+         |         '${TextStats.EmailRe}', '<EMAIL>', 'g'),
+         |         '${TextStats.Ipv4Re}', '<IP>', 'g'),
+         |         '${TextStats.PhoneRe}', '<PHONE>', 'g') AS redacted
+         |FROM p""".stripMargin,
+
+    // Closed-form EXPECTED canonical url from the doc_id arithmetic that
+    // built the raw variants — an independent check on the whole Spark
+    // canonicalization chain, not a regex mirror. kept = latest warc_ts
+    // (ts = epoch + doc_id sec, so argmax ts = max doc_id).
+    "web_url_dedup" ->
+      s"""WITH snap AS (
+         |  SELECT doc_id,
+         |         (CASE WHEN doc_id % 4 = 2 THEN 'http' ELSE 'https' END)
+         |           || '://host' || ((doc_id // 3) % 97)::VARCHAR
+         |           || '.example.com/p/' || (doc_id // 3)::VARCHAR
+         |           || (CASE WHEN doc_id % 3 = 0 THEN ''
+         |               ELSE '?id=' || (doc_id // 3)::VARCHAR END) AS canon_url
+         |  FROM documents
+         |)
+         |SELECT canon_url,
+         |       max(doc_id) AS kept_doc_id,
+         |       count(*)::BIGINT AS n_snapshots,
+         |       TIMESTAMP '2024-01-01 00:00:00' + min(doc_id) * INTERVAL 1 SECOND AS first_ts,
+         |       TIMESTAMP '2024-01-01 00:00:00' + max(doc_id) * INTERVAL 1 SECOND AS last_ts
+         |FROM snap GROUP BY 1""".stripMargin,
+
+    "web_host_stats" ->
+      s"""WITH snap AS (
+         |  SELECT doc_id, len(text)::BIGINT AS n_chars,
+         |         'host' || ((doc_id // 3) % 97)::VARCHAR || '.example.com' AS host,
+         |         (CASE WHEN doc_id % 4 = 2 THEN 'http' ELSE 'https' END)
+         |           || '://host' || ((doc_id // 3) % 97)::VARCHAR
+         |           || '.example.com/p/' || (doc_id // 3)::VARCHAR
+         |           || (CASE WHEN doc_id % 3 = 0 THEN ''
+         |               ELSE '?id=' || (doc_id // 3)::VARCHAR END) AS canon_url
+         |  FROM documents
+         |)
+         |SELECT host,
+         |       count(*)::BIGINT AS n_snapshots,
+         |       count(DISTINCT canon_url)::BIGINT AS n_pages,
+         |       sum(n_chars)::BIGINT AS total_chars
+         |FROM snap GROUP BY 1""".stripMargin,
+
+    // byte-identical extraction invariant: the expected text is computed
+    // closed-form from the wrapper construction, not by re-parsing html
+    "html_extract" ->
+      s"""SELECT doc_id,
+         |       'Doc ' || doc_id::VARCHAR || ' ' || text || ' tail & end' AS extracted
+         |FROM documents""".stripMargin,
 
     "doc_quantiles" ->
       s"""SELECT source,

@@ -112,6 +112,38 @@ object TextStats {
         .as("dup_bigram_frac"))
   }
 
+  /** PII patterns (shared with the oracle SQL verbatim — RE2/Java common
+    * subset: no lookaround, no backreferences). The hyphen in the phone
+    * class is last, so it is literal in both dialects. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "[+(]?[0-9][0-9() -]{6,}[0-9]"
+
+  /** PII scrub — the redaction pass every published LLM-corpus pipeline
+    * runs before training (emails / IPv4 / phone-shaped digit runs, the
+    * three pattern families the BigScience ROOTS and FineWeb pipelines
+    * target). Emits per-doc match counts (from the ORIGINAL text) plus
+    * the redacted text. Replacement order matters and is part of the
+    * spec: emails first (their digits would otherwise feed the phone
+    * pattern), then IPv4 (dots exclude them from the phone class), then
+    * phones over what remains. Pure regexp projection — no shuffle,
+    * scan-speed at 100 TB like the rest of this file. */
+  def piiScrub(docs: DataFrame, text: Column): DataFrame = {
+    def n(re: String) = size(regexp_extract_all(text, lit(re), lit(0)))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      n(EmailRe).as("n_emails"),
+      n(Ipv4Re).as("n_ips"),
+      n(PhoneRe).as("n_phones"),
+      redacted.as("redacted"))
+  }
+
   /** Content fingerprint: md5 over canonical tokens (full 128-bit hex) +
     * a 16-bucket shard id from its first hex digit — the partition key a
     * fingerprint store would shard on. */
