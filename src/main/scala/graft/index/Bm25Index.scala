@@ -232,16 +232,30 @@ object Bm25Index {
     * df = Σ block n (postings are unique per (term, doc)), dictionary
     * string and block-max carried on the block rows. Replaces a second
     * full postings scan + groupBy(term) shuffle with an aggregation over
-    * the already-compressed blocks (orders of magnitude fewer rows). */
-  def termStatsFromBlocks(blocks: DataFrame, corpusStats: DataFrame): DataFrame =
-    withIdf(
-      blocks
-        .groupBy(col("term_id"))
-        .agg(first(col("term")).as("term"),
-          sum(col("n")).as("df"),
-          max(col("block_max_tfnorm")).as("max_tfnorm")),
-      corpusStats)
+    * the already-compressed blocks (orders of magnitude fewer rows).
+    *
+    * `audit`: optional injectivity audit of the term→term_id hash, folded
+    * into the same aggregation as an observed metric — `collisions` =
+    * number of term_ids carrying two distinct term strings (min ≠ max;
+    * cheap simple aggregates, no distinct-aggregate Expand). The
+    * dictionary string is min(term): deterministic, and identical to any
+    * other choice whenever the audit passes. */
+  def termStatsFromBlocks(blocks: DataFrame, corpusStats: DataFrame,
+                          audit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val agg = blocks
+      .groupBy(col("term_id"))
+      .agg(min(col("term")).as("term"),
+        max(col("term")).as("__term_hi"),
+        sum(col("n")).as("df"),
+        max(col("block_max_tfnorm")).as("max_tfnorm"))
+    val audited = audit match {
+      case Some(obs) => agg.observe(obs,
+        sum(when(col("term") =!= col("__term_hi"), 1L).otherwise(0L)).as("collisions"))
+      case None => agg
+    }
+    withIdf(audited.drop("__term_hi"), corpusStats)
       .select(col("term"), col("term_id"), col("df"), col("idf"), col("max_tfnorm"))
+  }
 
   /** Inverse of [[blocks]]: explode back to (term_id, doc_id, tf, dl).
     * Used by the scorer; proves the codec round-trips inside one Catalyst

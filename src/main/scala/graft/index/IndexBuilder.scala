@@ -2,7 +2,6 @@ package graft.index
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.analysis.{HtmlExtract, Tokenizer}
 import graft.catalog.TableManifest
@@ -49,23 +48,102 @@ object IndexBuilder {
 
   def stageDir(indexDir: String, stage: String): String = s"$indexDir/$stage"
 
-  /** Dense docId = global rank over url, computed distributed:
-    * range-partition by url + sort within partitions (ONE shuffle), then
-    * doc_id = per-partition offset (tiny driver-side cumsum over partition
-    * counts) + intra-partition position. No global single-partition window,
-    * no RDD. The sorted Dataset is persisted so the counts job and the
-    * assignment job see identical range boundaries. */
-  def assignDocIds(pages: DataFrame, partitions: Int): DataFrame = {
+  /** Frozen docId-assignment plan: sorted url range boundaries + each
+    * range's cumulative row offset (both tiny: 4×partitions entries), and
+    * the extraction-audit mismatch count when an audit column was ridden
+    * along (one combined scan instead of a separate audit job). */
+  case class DocIdPlan(bounds: Array[org.apache.spark.unsafe.types.UTF8String],
+                       offsets: Array[Long], mismatches: Long)
+
+  /** Pass 1 of docId assignment (url-only, column-pruned): range-partition
+    * the urls at 4×partitions granularity and capture, in ONE tiny
+    * aggregation, each range's EXACT row count and lower boundary
+    * (min url). The boundaries the range sampler actually chose are
+    * frozen into the returned plan, so pass 2 re-derives the identical
+    * order-preserving bucketing without re-sampling — re-executing
+    * repartitionByRange samples nondeterministically per action, which
+    * rounds 1-3 worked around with a full-row DISK_ONLY persist: at 32
+    * cores that serialized the whole corpus through one disk (and never
+    * unpersisted), and at 100 TB it would spill a corpus-sized
+    * intermediate. Only the url column crosses this pass's exchange.
+    *
+    * `audit`: an optional boolean column (true = extraction mismatch)
+    * observed as a side metric of the same scan, folding the build's
+    * html⇄text audit job into this pass. */
+  def planDocIds(pages: DataFrame, partitions: Int,
+                 audit: Option[org.apache.spark.sql.Column] = None): DocIdPlan = {
+    val buckets = 4 * math.max(1, partitions)
+    val obs = org.apache.spark.sql.Observation()
+    val urls = audit match {
+      case Some(isMismatch) =>
+        pages.select(col("url"), isMismatch.cast("long").as("__mm"))
+          .observe(obs, sum(col("__mm")).as("mm"))
+          .select(col("url"))
+      case None => pages.select(col("url"))
+    }
+    val parts = urls
+      .repartitionByRange(buckets, col("url"))
+      // evaluated AFTER the exchange (nondeterministic expressions are
+      // never pushed through it): ranges are keyed by their physical
+      // partition id, in key order by RangePartitioning's contract
+      .select(col("url"), spark_partition_id().as("part"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("cnt"), min(col("url")).as("lo"))
+      .collect()
+      .sortBy(_.getInt(0))
+    // bucket i = [lo_i, lo_{i+1}): equal keys share a partition, so the
+    // observed minima exactly separate the ranges; empty ranges simply
+    // produce no row. Partition 0's minimum is the global minimum (or
+    // null if the lowest range is all-null urls) — never a boundary.
+    val bounds = parts.drop(1).map { r =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(2))
+    }
+    val offsets = parts.map(_.getLong(1)).scanLeft(0L)(_ + _).dropRight(1)
+    val mismatches = audit.fold(0L)(_ =>
+      Option(obs.get("mm")).fold(0L)(_.asInstanceOf[Long]))
+    DocIdPlan(bounds, if (offsets.isEmpty) Array(0L) else offsets, mismatches)
+  }
+
+  /** Pass 2: dense docId = global rank over url, in ONE full-row exchange.
+    * bucket = binary search of url in the frozen boundaries (codegen'd
+    * [[StringBucketExpr]]); doc_id = the bucket's cumulative offset
+    * (element_at of a literal array — no join, no broadcast) + row_number
+    * within the bucket. For unique urls the result is pure arithmetic on
+    * the url's global rank: independent of sampling, physical partitioning
+    * and parallelism. No persist, no RDD, no single-partition window (the
+    * window keys on bucket — ~N/(4·partitions) rows per group, spillable). */
+  def applyDocIds(pages: DataFrame, plan: DocIdPlan): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bucket")).orderBy(col("url"))
+    pages
+      .withColumn("__bucket",
+        coalesce(StringBucket.bucket(col("url"), plan.bounds), lit(0)))
+      .withColumn("doc_id",
+        element_at(typedLit(plan.offsets.toSeq), col("__bucket") + 1) +
+          row_number().over(w) - 1)
+      .drop("__bucket")
+  }
+
+  /** Single-decode docId assignment for builds with NO extraction audit
+    * (the two-pass plan above re-decodes the text column once per pass to
+    * apply the row filter — measurably slower when no audit scan exists to
+    * carry pass 1): range-partition by url + sort within partitions (ONE
+    * shuffle), doc_id = per-partition offset (tiny driver-side cumsum over
+    * partition counts) + intra-partition position. The sorted Dataset is
+    * persisted so the counts job and the assignment job see identical
+    * (nondeterministically sampled) range boundaries — DISK_ONLY because
+    * at 2 GB/core this intermediate competes with shuffle memory;
+    * serialized-to-local-disk is sequential IO and keeps the heap for the
+    * aggregations (SCALE.md §persist). Returns (ids, persist handle) —
+    * the caller MUST unpersist the handle once the ids are consumed. */
+  def assignDocIdsPersisted(pages: DataFrame, partitions: Int): (DataFrame, DataFrame) = {
     val sorted = pages
       .repartitionByRange(partitions, col("url"))
       .sortWithinPartitions(col("url"))
       .withColumn("mid", monotonically_increasing_id())
       .withColumn("pid", shiftright(col("mid"), 33).cast("int"))
       .withColumn("local", col("mid").bitwiseAND(lit((1L << 33) - 1)))
-      // DISK_ONLY: at 2 GB/core this intermediate competes with shuffle
-      // memory; serialized-to-local-disk is sequential IO and keeps the
-      // heap for the aggregations (SCALE.md §persist)
-      .persist(StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val counts = sorted.groupBy(col("pid")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val pids = counts.keys.toSeq.sorted
@@ -74,11 +152,19 @@ object IndexBuilder {
     val offsetDf = broadcast(
       spark.createDataFrame(offsets.toSeq.map { case (p, o) => (p, o) })
         .toDF("pid", "offset"))
-    sorted
+    val ids = sorted
       .join(offsetDf, "pid")
       .withColumn("doc_id", col("offset") + col("local"))
       .drop("mid", "pid", "local", "offset")
+    (ids, sorted)
   }
+
+  /** Dense docId = global rank over url — [[planDocIds]] + [[applyDocIds]]
+    * (the leak-free two-pass form; [[build]] picks this or the persisted
+    * single-decode form depending on whether an audit scan exists to
+    * carry pass 1). */
+  def assignDocIds(pages: DataFrame, partitions: Int): DataFrame =
+    applyDocIds(pages, planDocIds(pages, partitions))
 
   private def configOf(p: Bm25Params): Map[String, String] = Map(
     "k1" -> p.k1.toString, "b" -> p.b.toString,
@@ -126,13 +212,20 @@ object IndexBuilder {
     val docsDir = stageDir(indexDir, "docs")
     val filtered = pages
       .filter(col("lang") === "en" && length(col("text")) > 0)
+    // the html⇄text byte-identity audit rides the docId boundary pass as
+    // an observed metric (ONE combined scan; a separate audit job used to
+    // re-read the html column — the table's widest — end to end). When
+    // auditing, the plan is computed eagerly because the mismatch count is
+    // part of the stage config (input-identity for checkpoint resume);
+    // without it, pass 1 runs lazily only if the stage actually builds.
+    var plannedIds: Option[DocIdPlan] = None
     val docsCfg =
       if (!auditExtraction) baseCfg
       else {
-        val mismatches = filtered
-          .filter(not(HtmlExtract.html_extract(col("html")) <=> col("text")))
-          .count()
-        baseCfg + ("extract_mismatches" -> mismatches.toString)
+        val plan = planDocIds(filtered, parts,
+          audit = Some(not(HtmlExtract.html_extract(col("html")) <=> col("text"))))
+        plannedIds = Some(plan)
+        baseCfg + ("extract_mismatches" -> plan.mismatches.toString)
       }
     // corpus stats are OBSERVED inside the docs write job itself (zero
     // extra pass — at 10^12 docs this deletes a full table scan from
@@ -140,16 +233,28 @@ object IndexBuilder {
     // the observed values. Exact longs → the derived avgdl is identical
     // to an aggregation over the written table.
     val docsObs = org.apache.spark.sql.Observation()
+    var docsPersist: Option[DataFrame] = None
     val docsReport = runStage(spark, indexDir, "docs", 0L, docsCfg) {
-      // html is audited above but NOT carried through the docId sort —
-      // it is the widest column and would double the shuffle/persist volume
-      assignDocIds(filtered.select(col("url"), col("warc_ts"), col("text"), col("lang")), parts)
+      // html is audited in pass 1 but NOT carried through the docId
+      // exchange — it is the widest column and would double shuffle volume
+      val narrow = filtered.select(col("url"), col("warc_ts"), col("text"), col("lang"))
+      val withIds = plannedIds match {
+        case Some(plan) => applyDocIds(narrow, plan)
+        case None =>
+          // no audit scan to carry the boundary pass: the single-decode
+          // persisted form is cheaper (unpersisted right after the write)
+          val (ids, handle) = assignDocIdsPersisted(narrow, parts)
+          docsPersist = Some(handle)
+          ids
+      }
+      withIds
         .select((col("doc_id") + docIdOffset).as("doc_id"),
           col("url"), col("warc_ts"), col("text"), col("lang"),
           size(Tokenizer.tokenizeDoc(col("text"))).as("dl"))
         .observe(docsObs, count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     }
     reports += docsReport
+    docsPersist.foreach(_.unpersist(blocking = false))
     val docs = spark.read.parquet(docsDir)
 
     // -- corpusstats ------------------------------------------------------
@@ -246,24 +351,25 @@ object IndexBuilder {
     // derived from the blocks table ALONE (df = Σ n, dictionary string on
     // the block rows): the postings table — the build's largest
     // intermediate — is scanned exactly once, by the blocks stage
+    // The term-id injectivity audit rides the SAME aggregation as an
+    // observed metric (collisions = term_ids whose min(term) ≠ max(term);
+    // blocks carry the term string per block row, so every collision is
+    // visible — see Bm25Index.blocks on why term is part of the group
+    // key). A 64-bit hash collision would silently merge two posting
+    // lists — fail fast and re-key with a different termIdSeed instead.
+    // Folding the audit here deletes what used to be a SEPARATE full
+    // blocks scan per build (and a distinct-aggregate Expand at that).
+    val tsObs = org.apache.spark.sql.Observation()
     val termReport = runStage(spark, indexDir, "termstats", blocksReport.snapshotId, baseCfg) {
       val blocks = spark.read.parquet(stageDir(indexDir, "blocks"))
-      Bm25Index.termStatsFromBlocks(blocks, corpus)
+      Bm25Index.termStatsFromBlocks(blocks, corpus, audit = Some(tsObs))
     }
     reports += termReport
-
-    // term-id injectivity audit (vocabulary-sized, one aggregation): a
-    // 64-bit hash collision would silently merge two posting lists —
-    // fail fast and re-key with a different termIdSeed instead. Audited
-    // over the BLOCKS table (termstats groups BY term_id, so a collision
-    // would already be merged there and invisible to this check)
     if (!termReport.skipped) {
-      val blk = spark.read.parquet(stageDir(indexDir, "blocks"))
-      val a = blk.agg(count_distinct(col("term")).as("nt"),
-        count_distinct(col("term_id")).as("ni")).head
-      require(a.getLong(0) == a.getLong(1),
-        s"term-id hash collision (${a.getLong(0)} terms, ${a.getLong(1)} ids) " +
-          s"at seed ${p.termIdSeed}: rebuild with a different Bm25Params.termIdSeed")
+      val collisions = Option(tsObs.get("collisions")).fold(0L)(_.asInstanceOf[Long])
+      require(collisions == 0L,
+        s"term-id hash collision ($collisions colliding ids) at seed " +
+          s"${p.termIdSeed}: rebuild with a different Bm25Params.termIdSeed")
     }
     reports.toSeq
   }
