@@ -49,11 +49,9 @@ object IndexBuilder {
   def stageDir(indexDir: String, stage: String): String = s"$indexDir/$stage"
 
   /** Frozen docId-assignment plan: sorted url range boundaries + each
-    * range's cumulative row offset (both tiny: 4×partitions entries), and
-    * the extraction-audit mismatch count when an audit column was ridden
-    * along (one combined scan instead of a separate audit job). */
+    * range's cumulative row offset (both tiny: 4×partitions entries). */
   case class DocIdPlan(bounds: Array[org.apache.spark.unsafe.types.UTF8String],
-                       offsets: Array[Long], mismatches: Long)
+                       offsets: Array[Long])
 
   /** Pass 1 of docId assignment (url-only, column-pruned): range-partition
     * the urls at 4×partitions granularity and capture, in ONE tiny
@@ -65,23 +63,13 @@ object IndexBuilder {
     * rounds 1-3 worked around with a full-row DISK_ONLY persist: at 32
     * cores that serialized the whole corpus through one disk (and never
     * unpersisted), and at 100 TB it would spill a corpus-sized
-    * intermediate. Only the url column crosses this pass's exchange.
-    *
-    * `audit`: an optional boolean column (true = extraction mismatch)
-    * observed as a side metric of the same scan, folding the build's
-    * html⇄text audit job into this pass. */
-  def planDocIds(pages: DataFrame, partitions: Int,
-                 audit: Option[org.apache.spark.sql.Column] = None): DocIdPlan = {
+    * intermediate. Only the url column crosses this pass's exchange
+    * (range sampling does re-execute the pass's SCAN once — that is the
+    * partitioner's cost everywhere, and here the scan is the narrow
+    * url+filter projection, not full rows). */
+  def planDocIds(pages: DataFrame, partitions: Int): DocIdPlan = {
     val buckets = 4 * math.max(1, partitions)
-    val obs = org.apache.spark.sql.Observation()
-    val urls = audit match {
-      case Some(isMismatch) =>
-        pages.select(col("url"), isMismatch.cast("long").as("__mm"))
-          .observe(obs, sum(col("__mm")).as("mm"))
-          .select(col("url"))
-      case None => pages.select(col("url"))
-    }
-    val parts = urls
+    val parts = pages.select(col("url"))
       .repartitionByRange(buckets, col("url"))
       // evaluated AFTER the exchange (nondeterministic expressions are
       // never pushed through it): ranges are keyed by their physical
@@ -99,9 +87,7 @@ object IndexBuilder {
       org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(2))
     }
     val offsets = parts.map(_.getLong(1)).scanLeft(0L)(_ + _).dropRight(1)
-    val mismatches = audit.fold(0L)(_ =>
-      Option(obs.get("mm")).fold(0L)(_.asInstanceOf[Long]))
-    DocIdPlan(bounds, if (offsets.isEmpty) Array(0L) else offsets, mismatches)
+    DocIdPlan(bounds, if (offsets.isEmpty) Array(0L) else offsets)
   }
 
   /** Pass 2: dense docId = global rank over url, in ONE full-row exchange.
@@ -175,15 +161,24 @@ object IndexBuilder {
     "lang_filter" -> "en", "format" -> "parquet+graft-manifest-v1")
 
   /** Run one stage: skip if committed against the current parent snapshot,
-    * else compute → write → manifest-commit. */
+    * else compute → write → manifest-commit.
+    *
+    * `configAfter`: extra manifest entries evaluated AFTER the write —
+    * audit RESULTS observed during the write job (e.g. the extraction
+    * mismatch count), as opposed to build PARAMS. Skip-equality compares
+    * params only: a stored manifest matches when every param key agrees
+    * (post-hoc result keys in the stored config are ignored). */
   private def runStage(spark: SparkSession, indexDir: String, stage: String,
                        parentSnapshot: Long, config: Map[String, String],
-                       partitionCols: Seq[String] = Seq.empty)
+                       partitionCols: Seq[String] = Seq.empty,
+                       configAfter: () => Map[String, String] = () => Map.empty)
                       (compute: => DataFrame): BuildReport = {
     val dir = stageDir(indexDir, stage)
     if (TableManifest.exists(dir)) {
       val m = TableManifest.read(dir)
-      if (m.parentSnapshotId == parentSnapshot && m.config == config)
+      if (m.parentSnapshotId == parentSnapshot &&
+          config.forall { case (k, v) => m.config.get(k).contains(v) } &&
+          m.config.keySet.subsetOf(config.keySet ++ AfterKeys))
         return BuildReport(stage, skipped = true, m.rows, m.snapshotId)
     }
     val t0 = System.nanoTime()
@@ -191,10 +186,19 @@ object IndexBuilder {
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(dir)
     val lineage = TableManifest.lineageOf(spark, dir)
-    val m = TableManifest(stage, parentSnapshot, lineage.map(_.rows).sum, lineage, config)
+    val m = TableManifest(stage, parentSnapshot, lineage.map(_.rows).sum, lineage,
+      config ++ configAfter())
     TableManifest.commit(dir, m)
     BuildReport(stage, skipped = false, m.rows, m.snapshotId, (System.nanoTime() - t0) / 1e9)
   }
+
+  /** Manifest keys that are post-write audit results, not build params. */
+  private val AfterKeys = Set("extract_mismatches")
+
+  /** Defensive Observation read: a metrics row can be absent entirely
+    * when the optimizer collapses a degenerate (empty) observed subtree. */
+  private def obsLong(obs: org.apache.spark.sql.Observation, key: String): Long =
+    obs.get.get(key).flatMap(Option(_)).fold(0L)(_.asInstanceOf[Long])
 
   /** Full build. `pages` must have (url, warc_ts, html, text, lang);
     * docs whose html does not extract byte-identically to `text` are
@@ -212,41 +216,43 @@ object IndexBuilder {
     val docsDir = stageDir(indexDir, "docs")
     val filtered = pages
       .filter(col("lang") === "en" && length(col("text")) > 0)
-    // the html⇄text byte-identity audit rides the docId boundary pass as
-    // an observed metric (ONE combined scan; a separate audit job used to
-    // re-read the html column — the table's widest — end to end). When
-    // auditing, the plan is computed eagerly because the mismatch count is
-    // part of the stage config (input-identity for checkpoint resume);
-    // without it, pass 1 runs lazily only if the stage actually builds.
-    var plannedIds: Option[DocIdPlan] = None
-    val docsCfg =
-      if (!auditExtraction) baseCfg
-      else {
-        val plan = planDocIds(filtered, parts,
-          audit = Some(not(HtmlExtract.html_extract(col("html")) <=> col("text"))))
-        plannedIds = Some(plan)
-        baseCfg + ("extract_mismatches" -> plan.mismatches.toString)
-      }
-    // corpus stats are OBSERVED inside the docs write job itself (zero
-    // extra pass — at 10^12 docs this deletes a full table scan from
-    // every build); the one-row corpusstats table is then written from
-    // the observed values. Exact longs → the derived avgdl is identical
-    // to an aggregation over the written table.
+    // corpus stats AND the html⇄text byte-identity audit are OBSERVED
+    // inside the docs write job itself (zero extra passes — at 10^12 docs
+    // each fold deletes a full table scan from every build; the audit used
+    // to be a SEPARATE job re-reading html, the table's widest column, end
+    // to end). html is decoded exactly once, in the write job's scan, and
+    // pruned before the docId exchange; the mismatch count is a post-write
+    // audit RESULT recorded into the manifest by configAfter, not a build
+    // param (resume keeps the recorded value). The one-row corpusstats
+    // table is then written from the observed values — exact longs, so
+    // the derived avgdl is identical to an aggregation over the table.
     val docsObs = org.apache.spark.sql.Observation()
+    val auditObs = org.apache.spark.sql.Observation()
     var docsPersist: Option[DataFrame] = None
-    val docsReport = runStage(spark, indexDir, "docs", 0L, docsCfg) {
-      // html is audited in pass 1 but NOT carried through the docId
-      // exchange — it is the widest column and would double shuffle volume
-      val narrow = filtered.select(col("url"), col("warc_ts"), col("text"), col("lang"))
-      val withIds = plannedIds match {
-        case Some(plan) => applyDocIds(narrow, plan)
-        case None =>
-          // no audit scan to carry the boundary pass: the single-decode
-          // persisted form is cheaper (unpersisted right after the write)
+    val docsReport = runStage(spark, indexDir, "docs", 0L, baseCfg,
+      configAfter = () =>
+        if (auditExtraction) Map("extract_mismatches" -> obsLong(auditObs, "mm").toString)
+        else Map.empty) {
+      val narrow =
+        if (!auditExtraction)
+          filtered.select(col("url"), col("warc_ts"), col("text"), col("lang"))
+        else
+          filtered.select(col("url"), col("warc_ts"), col("text"), col("lang"),
+            not(HtmlExtract.html_extract(col("html")) <=> col("text"))
+              .cast("long").as("__mm"))
+            .observe(auditObs, sum(col("__mm")).as("mm"))
+            .drop("__mm")
+      val withIds =
+        if (auditExtraction) applyDocIds(narrow, planDocIds(filtered, parts))
+        else {
+          // the audited two-pass plan trades a second decode of the
+          // filter columns for the persist; without the audit the
+          // single-decode persisted form is cheaper (unpersisted right
+          // after the write)
           val (ids, handle) = assignDocIdsPersisted(narrow, parts)
           docsPersist = Some(handle)
           ids
-      }
+        }
       withIds
         .select((col("doc_id") + docIdOffset).as("doc_id"),
           col("url"), col("warc_ts"), col("text"), col("lang"),
@@ -264,9 +270,8 @@ object IndexBuilder {
         // exists — aggregate the committed table (docs-narrow, rare path)
         Bm25Index.corpusStats(docs.select(col("doc_id"), col("dl")))
       else {
-        val m = docsObs.get
-        val n = m("n_docs").asInstanceOf[Long]
-        val sumDl = Option(m("sum_dl")).fold(0L)(_.asInstanceOf[Long])
+        val n = obsLong(docsObs, "n_docs")
+        val sumDl = obsLong(docsObs, "sum_dl")
         import spark.implicits._
         Seq((n, sumDl)).toDF("n_docs", "sum_dl")
           .select(col("n_docs"),
@@ -366,7 +371,7 @@ object IndexBuilder {
     }
     reports += termReport
     if (!termReport.skipped) {
-      val collisions = Option(tsObs.get("collisions")).fold(0L)(_.asInstanceOf[Long])
+      val collisions = obsLong(tsObs, "collisions")
       require(collisions == 0L,
         s"term-id hash collision ($collisions colliding ids) at seed " +
           s"${p.termIdSeed}: rebuild with a different Bm25Params.termIdSeed")

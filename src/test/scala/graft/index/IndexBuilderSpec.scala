@@ -86,6 +86,18 @@ class IndexBuilderSpec extends AnyFunSuite {
     assert(Bm25Search.searchPersisted(queries, index, 5).count() == 0L)
   }
 
+  test("an AUDITED build of an empty corpus still builds (boundary pass over zero rows)") {
+    // audited builds route docIds through planDocIds: zero rows → no
+    // range minima, empty boundary list, offsets [0] — pass 2 and the
+    // observed audit/collision metrics must all tolerate the empty input
+    val dir = tmpDir()
+    val reports = IndexBuilder.build(spark, pages.withColumn("lang", lit("xx")), dir)
+    assert(reports.map(_.stage) == IndexBuilder.Stages)
+    val m = IndexBuilder.manifests(dir).head
+    assert(m.config("extract_mismatches") == "0")
+    assert(IndexBuilder.open(spark, dir).termStats.count() == 0L)
+  }
+
   test("build commits all four stages with non-empty lineage; extraction audit is clean") {
     val dir = tmpDir()
     val reports = IndexBuilder.build(spark, pages, dir)
