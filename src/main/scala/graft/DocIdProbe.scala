@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Tokenizer
+import graft.corpus.Synthesizer
+import graft.index.IndexBuilder
+
+/** Head-to-head probe of the two UNAUDITED docId-assignment strategies
+  * (the audited build always takes the two-pass plan): for each cpu count
+  * it times the full docs-stage write under
+  *   A: assignDocIdsPersisted (range sort + DISK_ONLY persist + offset join)
+  *   B: planDocIds + applyDocIds (url-only boundary pass + binary-search
+  *      bucket + per-bucket row_number — re-reads the filter columns once)
+  * alternating A/B per rep so episodic VM contention windows hit both arms.
+  * `runMain graft.DocIdProbe` with PROBE_DOCS / PROBE_CPUS / PROBE_REPS.
+  */
+object DocIdProbe {
+  private def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files => F, Paths}
+    val p = Paths.get(path)
+    if (F.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      F.walk(p).iterator().asScala.toSeq.reverse.foreach(F.deleteIfExists(_))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("PROBE_DOCS", "600000").toLong
+    val reps = sys.env.getOrElse("PROBE_REPS", "3").toInt
+    for (cpus <- sys.env.getOrElse("PROBE_CPUS", "8,32").split(",").map(_.trim.toInt)) {
+      val spark = SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus.toString)
+        .config("spark.shuffle.compress", "false")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val pagesDir = Files.createTempDirectory(s"docid-pages-$cpus").toString
+      Synthesizer.pages(spark, n, 4 * cpus).write.mode("overwrite").parquet(pagesDir)
+
+      def docsStage(strategy: String, outDir: String): Double = {
+        val filtered = spark.read.parquet(pagesDir)
+          .filter(col("lang") === "en" && length(col("text")) > 0)
+        val narrow = filtered.select(col("url"), col("warc_ts"), col("text"), col("lang"))
+        val t0 = System.nanoTime()
+        var handle: Option[org.apache.spark.sql.DataFrame] = None
+        val withIds = strategy match {
+          case "A" =>
+            val (ids, h) = IndexBuilder.assignDocIdsPersisted(narrow, cpus)
+            handle = Some(h); ids
+          case "B" =>
+            IndexBuilder.applyDocIds(narrow, IndexBuilder.planDocIds(filtered, cpus))
+        }
+        withIds
+          .select(col("doc_id"), col("url"), col("warc_ts"), col("text"), col("lang"),
+            size(Tokenizer.tokenizeDoc(col("text"))).as("dl"))
+          .write.mode("overwrite").parquet(outDir)
+        handle.foreach(_.unpersist(blocking = true))
+        (System.nanoTime() - t0) / 1e9
+      }
+
+      // JIT/codegen warmup on a small slice of each strategy
+      val warm = Files.createTempDirectory(s"docid-warm-$cpus").toString
+      docsStage("A", warm); docsStage("B", warm)
+      val times = scala.collection.mutable.Map("A" -> List.empty[Double],
+        "B" -> List.empty[Double])
+      val out = Files.createTempDirectory(s"docid-out-$cpus").toString
+      for (r <- 1 to reps; s <- Seq("A", "B")) {
+        val t = docsStage(s, out)
+        times(s) = times(s) :+ t
+        println(f"DOCID cpus=$cpus rep=$r strat=$s sec=$t%.2f")
+      }
+      println(f"DOCID cpus=$cpus SUMMARY persisted_min=${times("A").min}%.2f " +
+        f"twopass_min=${times("B").min}%.2f")
+      spark.stop()
+      Seq(pagesDir, warm, out).foreach(deleteRecursively)
+    }
+  }
+}

@@ -245,10 +245,13 @@ object IndexBuilder {
       val withIds =
         if (auditExtraction) applyDocIds(narrow, planDocIds(filtered, parts))
         else {
-          // the audited two-pass plan trades a second decode of the
-          // filter columns for the persist; without the audit the
-          // single-decode persisted form is cheaper (unpersisted right
-          // after the write)
+          // the two-pass plan trades a second decode of the filter
+          // columns for the persist; without an audit the single-decode
+          // persisted form is measurably cheaper (DocIdProbe @600k docs:
+          // 1.96 vs 2.20 s at 8 cores, 1.70 vs 2.68 s at 32 — the extra
+          // text re-read costs more than the narrow-row persist until
+          // the persist itself no longer fits local disk). Unpersisted
+          // right after the write.
           val (ids, handle) = assignDocIdsPersisted(narrow, parts)
           docsPersist = Some(handle)
           ids
