@@ -2,22 +2,33 @@ package graft.query
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The bounded-heap Aggregator's algebra: reduce/merge must be
-  * associative and order-insensitive (Spark may merge partial buffers in
-  * any order/grouping), and finish must equal a full sort. Randomized
-  * over 200 partition layouts. */
+/** The bounded-heap aggregate's algebra: update/merge must be associative
+  * and order-insensitive (Spark may merge partial buffers in any
+  * order/grouping), and the final result must equal a full sort — with a
+  * serialize/deserialize round-trip on every partial buffer, exactly as
+  * the shuffle applies it. Randomized over 200 partition layouts. */
 class TopKAggregatorSpec extends AnyFunSuite {
 
   private val rnd = new scala.util.Random(23)
 
+  private def roundTrip(b: TopKBuf): TopKBuf = {
+    // the same byte format HeapTopKAggExpr ships across the shuffle
+    val agg = HeapTopKAggExpr(null, null, b.k)
+    agg.deserialize(agg.serialize(b))
+  }
+
   private def run(k: Int, entries: Seq[(Long, Double)], splits: Int): Seq[(Long, Double)] = {
-    val agg = new TopKAggregator.TopK(k)
     // random partition of the input into `splits` buffers
     val parts = entries.groupBy(_ => rnd.nextInt(splits)).values.toSeq
-    val bufs = parts.map(p => p.foldLeft(agg.zero)((b, e) => agg.reduce(b, e)))
+    val bufs = parts.map { p =>
+      val b = new TopKBuf(k)
+      p.foreach { case (id, s) => b.append(id, s) }
+      roundTrip(b)
+    }
     // random-order pairwise merges
-    val merged = rnd.shuffle(bufs).reduceOption((a, b) => agg.merge(a, b)).getOrElse(agg.zero)
-    agg.finish(merged).toSeq
+    val merged = rnd.shuffle(bufs).reduceOption { (a, b) => a.appendAll(b); a }
+      .getOrElse(new TopKBuf(k))
+    merged.result().toSeq
   }
 
   test("200 random layouts: top-k ≡ exhaustive sort, regardless of partitioning") {
