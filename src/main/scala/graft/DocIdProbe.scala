@@ -48,10 +48,14 @@ object DocIdProbe {
         var handle: Option[org.apache.spark.sql.DataFrame] = None
         val withIds = strategy match {
           case "A" =>
-            val (ids, h) = IndexBuilder.assignDocIdsPersisted(narrow, cpus)
+            val (ids, h) = IndexBuilder.assignDocIdsPersisted(narrow, cpus,
+              org.apache.spark.storage.StorageLevel.DISK_ONLY)
             handle = Some(h); ids
           case "B" =>
             IndexBuilder.applyDocIds(narrow, IndexBuilder.planDocIds(filtered, cpus))
+          case "C" =>
+            val (ids, h) = IndexBuilder.assignDocIdsPersisted(narrow, cpus)
+            handle = Some(h); ids
         }
         withIds
           .select(col("doc_id"), col("url"), col("warc_ts"), col("text"), col("lang"),
@@ -63,17 +67,17 @@ object DocIdProbe {
 
       // JIT/codegen warmup on a small slice of each strategy
       val warm = Files.createTempDirectory(s"docid-warm-$cpus").toString
-      docsStage("A", warm); docsStage("B", warm)
-      val times = scala.collection.mutable.Map("A" -> List.empty[Double],
+      docsStage("A", warm); docsStage("B", warm); docsStage("C", warm)
+      val times = scala.collection.mutable.Map("A" -> List.empty[Double], "C" -> List.empty[Double],
         "B" -> List.empty[Double])
       val out = Files.createTempDirectory(s"docid-out-$cpus").toString
-      for (r <- 1 to reps; s <- Seq("A", "B")) {
+      for (r <- 1 to reps; s <- Seq("A", "B", "C")) {
         val t = docsStage(s, out)
         times(s) = times(s) :+ t
         println(f"DOCID cpus=$cpus rep=$r strat=$s sec=$t%.2f")
       }
       println(f"DOCID cpus=$cpus SUMMARY persisted_min=${times("A").min}%.2f " +
-        f"twopass_min=${times("B").min}%.2f")
+        f"twopass_min=${times("B").min}%.2f memdisk_min=${times("C").min}%.2f")
       spark.stop()
       Seq(pagesDir, warm, out).foreach(deleteRecursively)
     }
