@@ -21,9 +21,16 @@ object BenchFork {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar"
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    // pin to the TOP cpus cores: OS interrupt handling and the (mostly
+    // pipe-blocked, unpinned) parent JVM concentrate on the low cores, and
+    // that noise taxes a 2-core arm 4× harder per core than an 8-core arm
+    // — inflating the measured low-arm time and with it the efficiency
+    // ratio. Top-pinning removes the shared-core bias from both arms; a
+    // full-machine (32-core) child necessarily still includes core 0.
+    val total = Runtime.getRuntime.availableProcessors
     val pin =
       if (new java.io.File("/usr/bin/taskset").exists())
-        Seq("/usr/bin/taskset", "-c", s"0-${cpus - 1}")
+        Seq("/usr/bin/taskset", "-c", s"${math.max(0, total - cpus)}-${total - 1}")
       else Seq.empty
     val heap = if (heapGb > 0) heapGb else 2 * cpus
     val cmd = pin ++ Seq(javaBin) ++ addOpens ++ Seq(

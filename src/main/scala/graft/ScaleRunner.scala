@@ -57,6 +57,11 @@ object ScaleRunner {
       // network shuffles; this conf models a node-local NVMe shuffle,
       // applied identically to both arms of the pair.
       .config("spark.shuffle.compress", "false")
+      // A/B knob for the parquet OUTPUT codec (default snappy, Spark's
+      // default): the same page-cache-write argument as shuffle
+      // compression could apply to the stage writes
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
       // ride out long GC pauses instead of expiring the local executor
       .config("spark.network.timeout", "600s")
       .config("spark.executor.heartbeatInterval", "60s")
