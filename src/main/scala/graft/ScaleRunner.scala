@@ -72,6 +72,10 @@ object ScaleRunner {
     // timed builds (measured: an under-warmed first build runs 2-10x slow,
     // and with ActiveProcessorCount=2 the compiler has few threads)
     val warmDir = Files.createTempDirectory(s"graft-warm-$cpus").toString
+    val dirs = scala.collection.mutable.ArrayBuffer[String](warmDir)
+    // a crashed measurement must not leak tens of GB of temp indexes (the
+    // VM disk filled after a day of probing) — cleanup runs on EVERY exit
+    try {
     IndexBuilder.build(spark, Synthesizer.pages(spark, math.max(2000L, nDocs / 10), cpus),
       warmDir, auditExtraction = false)
     val pages = spark.read.parquet(pagesDir)
@@ -83,7 +87,6 @@ object ScaleRunner {
     // where min-of-3 was a coin flip. Seven now costs what five did
     // before the build dropped the postings materialization (~28%).
     var dir = ""
-    val dirs = scala.collection.mutable.ArrayBuffer[String]()
     val buildSec = (1 to 7).map { r =>
       dir = Files.createTempDirectory(s"graft-scale-$cpus-$r").toString
       dirs += dir
@@ -120,8 +123,6 @@ object ScaleRunner {
     val p50 = lats(lats.size / 2)
     println(f"SCALE $cpus $buildSec%.3f $querySec%.3f $p50%.4f")
     spark.stop()
-    // a bench run must not leak tens of GB of temp indexes (the VM disk
-    // filled after a day of probing)
-    (Seq(warmDir) ++ dirs).foreach(deleteRecursively)
+    } finally dirs.foreach(deleteRecursively)
   }
 }
