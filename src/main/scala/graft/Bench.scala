@@ -311,6 +311,13 @@ Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
          |contention windows running identical builds ~2x slow — the min
          |over 7 lands outside them). Target: efficiency >= 0.8.
          |
+         |A per-run efficiency can legitimately exceed 1.0: the heap
+         |scales at 2 GB/core, so the 2-core arm models a small executor
+         |whose 4 GB heap pays disproportionate GC against the same
+         |per-core work — a real small-executor effect, not a protocol
+         |artifact (the pooled estimator still reports the minimum-time
+         |ratio, not a cherry-picked run).
+         |
          |### Primary pair: local[2] vs local[8] (${pairsA.head.docs} docs) — ${pairsA.size} consecutive protocol runs
          |
          || run | build sec @2 | build sec @8 | docs/sec @2 | docs/sec @8 | efficiency |

@@ -57,12 +57,24 @@ object Main {
     else spark.read.parquet(path)
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: graft.Main <index|search|add|remove|compact|serve|demo> [--opts]")
+    require(args.nonEmpty, "usage: graft.Main <synth|index|search|add|remove|compact|serve|demo> [--opts]")
     val cmd = args.head
     val opts = parseArgs(args.tail.toSeq)
     val spark = sparkSession()
 
     cmd match {
+      // deterministic Common-Crawl-style corpus + query set, for trying
+      // the CLI end-to-end without external data (FIXTURES.md §1-2)
+      case "synth" =>
+        val n = opts.getOrElse("docs", "100000").toLong
+        corpus.Synthesizer.pages(spark, n, spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(opts("out"))
+        opts.get("queries-out").foreach { q =>
+          corpus.Synthesizer.queries(spark, opts.getOrElse("queries", "100").toInt, n)
+            .write.mode("overwrite").parquet(q)
+        }
+        println(s"[graft] synthesized $n pages -> ${opts("out")}")
+
       case "index" =>
         val reports = IndexBuilder.build(spark,
           spark.read.parquet(opts("pages")), opts("out"),
