@@ -460,6 +460,10 @@ object SparkEntry {
 
     "dedup_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
 
+    // near-dup CLUSTER resolution: verified jaccard pairs → connected
+    // components (min-label + pointer jumping) → one keeper per cluster
+    "dedup_clusters" -> ((s, dir) => Dedup.neardupClusters(docs(s, dir))),
+
     // benchmark decontamination: docs with doc_id % 50 == 0 stand in for
     // the held-out eval set; the remaining corpus is scanned for leaked
     // trigrams (≥ 2 distinct shared shingles to flag)
@@ -1005,6 +1009,58 @@ object SparkEntry {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE c::DOUBLE / (sa.n_sh + sb.n_sh - c) >= 0.5""".stripMargin,
+
+    // connected components over the dedup_jaccard pair set (recursive
+    // reachability closure; components are tiny at test scale), keeper =
+    // longest doc by token count, smallest doc_id on ties
+    "dedup_clusters" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksDoc AS toks FROM documents),
+         |shl AS (
+         |  SELECT doc_id,
+         |         [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] AS sh
+         |  FROM toks
+         |), shf0 AS (
+         |  SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(sh) AS s FROM shl)
+         |), keep AS (
+         |  SELECT s FROM shf0 GROUP BY 1 HAVING count(*) <= 1000
+         |), shf AS (
+         |  SELECT shf0.doc_id, shf0.s FROM shf0 JOIN keep USING (s)
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY 1
+         |), common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM shf a JOIN shf b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT doc_a, doc_b FROM common
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE c::DOUBLE / (sa.n_sh + sb.n_sh - c) >= 0.5
+         |), edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), reach AS (
+         |  WITH RECURSIVE r(u, v) AS (
+         |    SELECT u, v FROM edges
+         |    UNION
+         |    SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u
+         |  ) SELECT u, v FROM r
+         |), lbl AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+         |), m AS (
+         |  SELECT l.doc_id, l.cluster_id, len(t.toks) AS n_tokens
+         |  FROM lbl l JOIN toks t USING (doc_id)
+         |), rk AS (
+         |  SELECT doc_id, cluster_id, n_tokens,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |                            ORDER BY n_tokens DESC, doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |  FROM m
+         |), keepers AS (
+         |  SELECT cluster_id, doc_id AS keeper_id FROM rk WHERE rn = 1
+         |)
+         |SELECT rk.doc_id, rk.cluster_id, rk.cluster_size::BIGINT AS cluster_size,
+         |       keepers.keeper_id
+         |FROM rk JOIN keepers USING (cluster_id)""".stripMargin,
 
     "mix_sources" ->
       s"""WITH thr AS (

@@ -218,6 +218,83 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair table — the cluster-
+    * resolution step every real dedup pipeline needs AFTER pair
+    * generation: near-duplication is transitive in practice (A≈B, B≈C ⇒
+    * keep one of {A,B,C}), so pairs must be resolved into components
+    * before a keeper can be chosen.
+    *
+    * Input: (doc_a, doc_b) pairs. Output: (id, cluster_id) — every doc
+    * appearing in ≥1 pair labeled with its component's MINIMUM doc id
+    * (deterministic at any parallelism; singletons never enter the pair
+    * table and need no label).
+    *
+    * Algorithm: min-label propagation with pointer jumping (label(x) ←
+    * label(label(x)) each round) — the doubling step makes convergence
+    * O(log diameter) rounds, each round two hash joins + one bounded
+    * driver count for the fixpoint test. Per-round `localCheckpoint`
+    * truncates the iterative plan's lineage (without it the plan tree
+    * doubles per round and Catalyst analysis goes quadratic). Scale: the
+    * labels table is |V(pairs)| rows — near-dup pairs are O(corpus) by
+    * construction (bucketed + capped upstream), and each round's joins
+    * shuffle only (id, lbl) longs; a multi-hour cluster job would swap
+    * `localCheckpoint` for a reliable `checkpoint` dir, same plan
+    * otherwise. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nbrMin = edges.join(labels, edges("v") === labels("id"))
+        .groupBy(col("u")).agg(min(col("lbl")).as("nm"))
+      val prop = labels.join(nbrMin, labels("id") === nbrMin("u"), "left")
+        .select(labels("id").as("id"),
+          least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
+      // pointer jump: adopt the label OF the label (labels only ever
+      // decrease, so the parent's label is ≤ ours and in-component)
+      val parents = prop.select(col("id").as("pid"), col("lbl").as("plbl"))
+      val next = prop.join(parents, prop("lbl") === parents("pid"))
+        .select(prop("id").as("id"), col("plbl").as("lbl"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      converged = changed == 0
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dup cluster resolution: verified Jaccard pairs →
+    * connected components → one KEEPER per cluster (the longest doc by
+    * token count, smallest doc_id on ties — the usual "keep the most
+    * complete copy" policy). Output per clustered doc: (doc_id,
+    * cluster_id, cluster_size, keeper_id); rows with doc_id != keeper_id
+    * are what the dedup pass drops. Docs in no pair are untouched by
+    * dedup and emit no row. */
+  def neardupClusters(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                      maxShingleDf: Int = 1000): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, n, threshold, maxShingleDf)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = connectedComponents(pairs)
+    val withLen = comp.join(
+      docs.select(col("doc_id").as("id"),
+        size(Tokenizer.tokenizeDoc(col("text"))).as("n_tokens")), "id")
+    val keepers = withLen.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(struct((-col("n_tokens")).as("neg_len"), col("id").as("kid"))).as("best"))
+      .select(col("lbl"), col("cluster_size"), col("best.kid").as("keeper_id"))
+    withLen.select(col("id").as("doc_id"), col("lbl"))
+      .join(keepers, "lbl")
+      .select(col("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_size"), col("keeper_id"))
+  }
+
   /** Benchmark decontamination — the standard LLM training-data hygiene
     * step (drop training docs that leak evaluation content): every corpus
     * doc sharing ≥ `minOverlap` DISTINCT n-gram shingles with ANY

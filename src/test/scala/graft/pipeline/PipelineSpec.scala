@@ -64,6 +64,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(res.forall(_._3 <= 3))
   }
 
+  test("connected components: chain, clique and pair resolve to min-id labels") {
+    // a 64-node chain has diameter 63 — naive propagation needs 63 rounds,
+    // pointer jumping must land it well inside maxIter
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val clique = Seq((100L, 101L), (100L, 102L), (101L, 102L))
+    val pair = Seq((200L, 201L))
+    val pairs = (chain ++ clique ++ pair).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    (0L to 63L).foreach(i => assert(labels(i) == 0L, s"chain node $i"))
+    Seq(100L, 101L, 102L).foreach(i => assert(labels(i) == 100L))
+    Seq(200L, 201L).foreach(i => assert(labels(i) == 200L))
+    assert(labels.size == 64 + 3 + 2)
+  }
+
+  test("neardup clusters: planted clone triples resolve with the longest doc as keeper") {
+    val rows = Dedup.neardupClusters(docs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // tokenized length is capped at 220: a base doc at the cap makes the
+    // prepended near clone the SAME length and the tie-break (min id)
+    // keeps the base doc; below the cap the near clone is longest
+    val baseLen = docs.select(col("doc_id"),
+      size(graft.analysis.Tokenizer.tokenizeDoc(col("text"))).as("n"))
+      .as[(Long, Int)].collect().toMap
+    (0L until 10L).foreach { i =>
+      // {i, 300+i (exact clone), 400+i (near clone, one extra token)}
+      val expectedKeeper = if (baseLen(400L + i) > baseLen(i)) 400L + i else i
+      Seq(i, 300L + i, 400L + i).foreach { d =>
+        val (cid, size, keeper) = rows(d)
+        assert(cid == i, s"doc $d cluster_id")
+        assert(size == 3L, s"doc $d cluster_size")
+        assert(keeper == expectedKeeper, s"doc $d keeper (longest copy wins)")
+      }
+    }
+  }
+
   test("jaccard df cap drops boilerplate shingles from candidates AND counts") {
     // every doc shares the same boilerplate prefix; each pair also shares
     // nothing rare — with the cap at 1 every shared shingle exceeds df=1
