@@ -164,6 +164,63 @@ ${if (w.tWand < w.tFull) f"win ${w.tFull / w.tWand}%.1f×" else f"LOSS ${w.tWand
   private def deleteRecursively(path: String): Unit =
     BenchFork.deleteRecursively(path)
 
+  /** Headline estimator: min build time per ARM across every fork of that
+    * arm (3 forks × min-of-7 builds = min of 21). Each fork's min-of-7
+    * already estimates the uncontended build; pooling the arms' minima
+    * extends the same estimator past fork-length contention windows that
+    * a single fork cannot dodge. Per-run pair efficiencies stay in the
+    * artifact as the reproducibility evidence. */
+  private def pooled(pairs: Seq[Pair]): Pair =
+    pairs.sortBy(_.eff).apply(pairs.size / 2).copy(
+      tLow = pairs.map(_.tLow).min, tHigh = pairs.map(_.tHigh).min,
+      qLow = pairs.map(_.qLow).min, qHigh = pairs.map(_.qHigh).min,
+      p50Low = pairs.map(_.p50Low).min, p50High = pairs.map(_.p50High).min)
+
+  private def medianEff(pairs: Seq[Pair]): Double =
+    pairs.map(_.eff).sorted.apply(pairs.size / 2)
+
+  private def pairJson(tag: String, p: Pair, extra: String = ""): String =
+    f""""$tag":{"cores":"${p.nLow}v${p.nHigh}","n_docs":${p.docs},""" +
+    f""""build_sec_low":${p.tLow}%.2f,"build_sec_high":${p.tHigh}%.2f,""" +
+    f""""docs_per_sec_low":${p.tpLow}%.1f,"docs_per_sec_high":${p.tpHigh}%.1f,""" +
+    f""""efficiency":${p.eff}%.3f,"query_batch40_sec_high":${p.qHigh}%.2f,""" +
+    f""""query_p50_sec_high":${p.p50High}%.4f$extra}"""
+
+  private def runsJson(pairs: Seq[Pair]): String =
+    pairs.map(p => f"${p.eff}%.3f").mkString("[", ",", "]")
+
+  /** The bench's one-line JSON artifact. Called with partial inputs after
+    * each scaling phase (`provisional = true`) so an external timeout that
+    * kills the run mid-protocol still leaves the completed phases' numbers
+    * in the output tail, and once at the end with everything. */
+  private def jsonLine(results: Seq[(String, Double)], fixtures: Seq[(String, Double)],
+                       sfDir: String, pairsA: Seq[Pair], pairsBOpt: Option[Seq[Pair]],
+                       wand: Option[WandRegime], provisional: Boolean = false): String = {
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val fx = fixtures.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val scalingParts =
+      Seq(pairJson("n_vs_4n", pooled(pairsA),
+        f""","efficiency_runs":${runsJson(pairsA)},"efficiency_median":${medianEff(pairsA)}%.3f""")) ++
+      pairsBOpt.map(pb => pairJson("full_machine", pooled(pb),
+        f""","efficiency_runs":${runsJson(pb)},"efficiency_median":${medianEff(pb)}%.3f"""))
+    val scaling = scalingParts.mkString("{", ",", "}")
+    val wandJson = wand match {
+      case Some(w) =>
+        f""""wand_regime":{"n_pages":${w.nDocs},"vocab":${w.vocab},""" +
+        f""""rare_term":"${w.rareTerm}","rare_df":${w.rareDf},""" +
+        f""""full_sec":${w.tFull}%.2f,""" +
+        f""""wand_sec":${w.tWand}%.2f,"blocks_full":${w.blocksFull},""" +
+        f""""blocks_wand":${w.blocksWand},"postings_full":${w.postingsFull},""" +
+        f""""postings_wand":${w.postingsWand}}"""
+      case None =>
+        if (provisional) """"wand_regime":{"pending":true}"""
+        else """"wand_regime":{"failed":true}"""
+    }
+    val prov = if (provisional) """"provisional":true,""" else ""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec",$prov"queries":$qs,"fixtures":$fx,"sf":"$sfDir","scaling":$scaling,$wandJson}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -206,72 +263,42 @@ ${if (w.tWand < w.tFull) f"win ${w.tFull / w.tWand}%.1f×" else f"LOSS ${w.tWand
         }
         spark.stop() // children must not share cores with a live parent
 
-        // the wand arm forks its own right-sized JVM (largest-memory
-        // stage; an in-parent run once GC-stalled the whole bench)
+        // scaling evidence FIRST — it is the north-rule gate, so it must
+        // survive an external timeout that kills the bench mid-protocol
+        // (a provisional JSON line goes out after each phase; the caller
+        // reading the output tail then still has the evidence). BOTH
+        // pairs ×3: arms alternate 2,8,2,8,... so the VM's episodic
+        // contention windows land on both arms, and pooling each arm's
+        // minima across runs dodges windows longer than one fork (a
+        // single-run 8v32 pair measured 0.565 and 0.718 on the identical
+        // code hours apart — the pair needs the same estimator the
+        // primary pair gets)
+        val pairsA = (1 to pairARuns).map(_ => runPair(2, 8, docsA, pagesDirA))
+        println(jsonLine(results, fixtures, sfDir, pairsA, None, None,
+          provisional = true))
+        val pairsB = (1 to pairBRuns).map(_ => runPair(8, 32, docsB, pagesDirB))
+        println(jsonLine(results, fixtures, sfDir, pairsA, Some(pairsB), None,
+          provisional = true))
+
+        // the wand arm LAST (nice-to-have evidence, not the gate) in its
+        // own right-sized JVM (largest-memory stage; an in-parent run
+        // once GC-stalled the whole bench)
         val wand = wandRegime(cpus,
           sys.env.getOrElse("SPARK_GRAFT_WAND_DOCS", "6000000").toLong,
           sys.env.getOrElse("SPARK_GRAFT_WAND_VOCAB", "2000000").toInt)
-
-        // scaling evidence — BOTH pairs ×3: arms alternate 2,8,2,8,...
-        // so the VM's episodic contention windows land on both arms, and
-        // pooling each arm's minima across runs dodges windows longer
-        // than one fork (a single-run 8v32 pair measured 0.565 and 0.718
-        // on the identical code hours apart — the pair needs the same
-        // estimator the primary pair gets)
-        val pairsA = (1 to pairARuns).map(_ => runPair(2, 8, docsA, pagesDirA))
-        val pairsB = (1 to pairBRuns).map(_ => runPair(8, 32, docsB, pagesDirB))
         (results, fixtures, pairsA, pairsB, wand)
       } finally {
         // a failed child must not leak the multi-GB temp corpora
         Seq(pagesDirA, pagesDirB).foreach(deleteRecursively)
       }
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val fx = fixtures.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // headline estimator: min build time per ARM across every fork of that
-    // arm (3 forks × min-of-7 builds = min of 21). Each fork's min-of-7
-    // already estimates the uncontended build; pooling the arms' minima
-    // extends the same estimator past fork-length contention windows that
-    // a single fork cannot dodge. Per-run pair efficiencies stay in the
-    // artifact as the reproducibility evidence.
-    def pooled(pairs: Seq[Pair]): Pair =
-      pairs.sortBy(_.eff).apply(pairs.size / 2).copy(
-        tLow = pairs.map(_.tLow).min, tHigh = pairs.map(_.tHigh).min,
-        qLow = pairs.map(_.qLow).min, qHigh = pairs.map(_.qHigh).min,
-        p50Low = pairs.map(_.p50Low).min, p50High = pairs.map(_.p50High).min)
-    def median(pairs: Seq[Pair]): Double =
-      pairs.map(_.eff).sorted.apply(pairs.size / 2)
     val effRuns = pairsA.map(_.eff).sorted
-    val effMedian = median(pairsA)
+    val effMedian = medianEff(pairsA)
     val pairABest = pooled(pairsA)
     val pairBBest = pooled(pairsB)
-    val effMedianB = median(pairsB)
-    def pairJson(tag: String, p: Pair, extra: String = ""): String =
-      f""""$tag":{"cores":"${p.nLow}v${p.nHigh}","n_docs":${p.docs},""" +
-      f""""build_sec_low":${p.tLow}%.2f,"build_sec_high":${p.tHigh}%.2f,""" +
-      f""""docs_per_sec_low":${p.tpLow}%.1f,"docs_per_sec_high":${p.tpHigh}%.1f,""" +
-      f""""efficiency":${p.eff}%.3f,"query_batch40_sec_high":${p.qHigh}%.2f,""" +
-      f""""query_p50_sec_high":${p.p50High}%.4f$extra}"""
-    def runsJson(pairs: Seq[Pair]) =
-      pairs.map(p => f"${p.eff}%.3f").mkString("[", ",", "]")
-    val scaling =
-      s"""{${pairJson("n_vs_4n", pairABest,
-        f""","efficiency_runs":${runsJson(pairsA)},"efficiency_median":$effMedian%.3f""")},""" +
-      s"""${pairJson("full_machine", pairBBest,
-        f""","efficiency_runs":${runsJson(pairsB)},"efficiency_median":$effMedianB%.3f""")}}"""
-    val wandJson = wand match {
-      case Some(w) =>
-        f""""wand_regime":{"n_pages":${w.nDocs},"vocab":${w.vocab},""" +
-        f""""rare_term":"${w.rareTerm}","rare_df":${w.rareDf},""" +
-        f""""full_sec":${w.tFull}%.2f,""" +
-        f""""wand_sec":${w.tWand}%.2f,"blocks_full":${w.blocksFull},""" +
-        f""""blocks_wand":${w.blocksWand},"postings_full":${w.postingsFull},""" +
-        f""""postings_wand":${w.postingsWand}}"""
-      case None => """"wand_regime":{"failed":true}"""
-    }
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"fixtures":$fx,"sf":"$sfDir","scaling":$scaling,$wandJson}""")
+    val effMedianB = medianEff(pairsB)
+    val total = results.map(_._2).sum
+    println(jsonLine(results, fixtures, sfDir, pairsA, Some(pairsB), wand))
 
     // Multi-line table blocks are substituted into the template AFTER
     // stripMargin via placeholder tokens: stripMargin strips any leading

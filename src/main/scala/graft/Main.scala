@@ -82,6 +82,31 @@ object Main {
           auditExtraction = !opts.contains("no-audit"))
         reports.foreach(r => println(
           f"[graft] stage=${r.stage} rows=${r.rows} skipped=${r.skipped} sec=${r.seconds}%.1f snapshot=${r.snapshotId}%016x"))
+        // north-rule per-partition throughput metrics: one JSONL line per
+        // (stage, partition file) with rows/bytes from the committed
+        // manifest lineage (parquet footers, no data rescan) and the
+        // stage's wall time; rows_per_sec is the stage rate attributed to
+        // the partition (null for resume-skipped stages, which did no
+        // work this run). Written beside the stage dirs — inert to opens.
+        val metricsPath = java.nio.file.Paths.get(opts("out"), "metrics.jsonl")
+        val metricLines = reports.flatMap { r =>
+          val m = graft.catalog.TableManifest.read(
+            IndexBuilder.stageDir(opts("out"), r.stage))
+          m.files.map { f =>
+            val rate =
+              if (r.skipped || r.seconds <= 0) "null"
+              else f"${f.rows / r.seconds}%.1f"
+            s"""{"stage":"${r.stage}","partition":"${f.path}","rows":${f.rows},""" +
+              f""""bytes":${f.bytes},"stage_sec":${r.seconds}%.3f,""" +
+              s""""skipped":${r.skipped},"rows_per_sec":$rate}"""
+          }
+        }
+        java.nio.file.Files.write(metricsPath,
+          String.join("\n", metricLines: _*).getBytes("UTF-8"))
+        val docsReport = reports.find(_.stage == "docs")
+        docsReport.filter(r => !r.skipped && r.seconds > 0).foreach(r =>
+          println(f"[graft] throughput: ${r.rows / r.seconds}%.1f docs/sec (docs stage)"))
+        println(s"[graft] per-partition metrics: $metricsPath (${metricLines.size} lines)")
 
       case "search" =>
         val index = IndexUpdater.openMerged(spark, opts("index"))

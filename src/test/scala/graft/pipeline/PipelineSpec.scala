@@ -79,6 +79,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(labels.size == 64 + 3 + 2)
   }
 
+  test("connected components match a local union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 120
+      val edges = Seq.fill(90)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // local union-find oracle with min-id labels
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val inGraph = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val expected = inGraph.map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("neardup clusters: planted clone triples resolve with the longest doc as keeper") {
     val rows = Dedup.neardupClusters(docs)
       .as[(Long, Long, Long, Long)].collect()
