@@ -336,6 +336,23 @@ object SparkEntry {
           round(col("score"), 4).as("score"))
     }),
 
+    // exact phrase search: conjunctive posting intersection + adjacency
+    // verify over candidate text. Phrase queries are derived from the
+    // corpus itself (tokens 5..7 of every doc_id % 100 == 3) so every
+    // query provably matches ≥ its source doc and the oracle derives the
+    // identical set
+    "bm25_phrase" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val phrases = d
+        .select(col("doc_id").as("qid"),
+          graft.analysis.Tokenizer.tokenizeDoc(col("text")).as("toks"))
+        .filter(col("qid") % 100 === 3 && size(col("toks")) >= 7)
+        .select(col("qid"), concat_ws(" ", slice(col("toks"), 5, 3)).as("text"))
+      Bm25Search.searchPhrase(phrases, indexFor(s, dir), d, 10)
+        .select(col("qid"), col("doc_id"), col("rank"),
+          round(col("score"), 4).as("score"))
+    }),
+
     // FLIPR-analog ranking (§2.6 W4): per (qid, doc) only the top-2
     // strongest term contributions count, so one dominant term cannot be
     // diluted (reference's experimental flipr reduce, colbert.py:172-185)
@@ -832,6 +849,68 @@ object SparkEntry {
          |CROSS JOIN stats s""".stripMargin,
 
     "bm25_topk" -> Bm25TopkSql,
+
+    // phrase search: conjunctive candidates (all distinct phrase terms
+    // matched) + consecutive-slice adjacency verify, ranked by the phrase
+    // terms' BM25 sum; phrase queries derived from the corpus (tokens
+    // 5..7 of doc_id % 100 == 3)
+    "bm25_phrase" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $ToksDoc AS toks FROM documents
+         |), terms AS (
+         |  SELECT doc_id, unnest(toks) AS term FROM toks
+         |), tf AS (
+         |  SELECT term, doc_id, count(*)::INT AS tf FROM terms GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT doc_id, len(toks)::INT AS dl FROM toks
+         |), stats AS (
+         |  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+         |), df AS (
+         |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+         |), idf AS (
+         |  SELECT term, df, ln((s.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+         |  FROM df CROSS JOIN stats s
+         |), q AS (
+         |  SELECT doc_id AS qid, array_to_string(toks[5:7], ' ') AS qtext,
+         |         toks[5:7] AS pt
+         |  FROM toks WHERE doc_id % 100 = 3 AND len(toks) >= 7
+         |), qtok AS (
+         |  SELECT qid, unnest(${toksQuery("qtext")}) AS term FROM q
+         |), qterms AS (
+         |  SELECT qid, term, count(*)::INT AS qtf FROM qtok GROUP BY 1, 2
+         |), qn AS (
+         |  SELECT qid, count(*)::BIGINT AS n FROM qterms GROUP BY 1
+         |), hits AS (
+         |  SELECT qt.qid, tf.doc_id,
+         |         qt.qtf * i.idf * (tf.tf * (0.9 + 1.0) /
+         |           (tf.tf + 0.9 * (1.0 - 0.4 + 0.4 * dl.dl / s.avgdl))) AS partial
+         |  FROM qterms qt
+         |  JOIN idf i USING (term)
+         |  JOIN tf ON tf.term = qt.term
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  CROSS JOIN stats s
+         |), scored AS (
+         |  SELECT qid, doc_id, count(*)::BIGINT AS mn, sum(partial) AS score
+         |  FROM hits GROUP BY 1, 2
+         |), conj AS (
+         |  SELECT s.qid, s.doc_id, s.score
+         |  FROM scored s JOIN qn USING (qid) WHERE s.mn = qn.n
+         |), ver AS (
+         |  SELECT c.qid, c.doc_id, c.score
+         |  FROM conj c JOIN q ON q.qid = c.qid JOIN toks t ON t.doc_id = c.doc_id
+         |  WHERE len(t.toks) >= len(q.pt)
+         |    AND len([i for i in range(1, len(t.toks) - len(q.pt) + 2)
+         |             if t.toks[i:i+len(q.pt)-1] = q.pt]) > 0
+         |), pranked AS (
+         |  SELECT qid, doc_id,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY score DESC, doc_id ASC)::INT AS rank,
+         |         score
+         |  FROM ver
+         |)
+         |SELECT qid, doc_id, rank, round(score, 4) AS score
+         |FROM pranked WHERE rank <= 10""".stripMargin,
+
     "bm25_topk_wand" -> Bm25TopkSql,
     "bm25_topk_window" -> Bm25TopkSql,
     // flipr analog: rank by the sum of each doc's top-2 partials. Equal

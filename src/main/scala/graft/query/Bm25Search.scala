@@ -349,6 +349,63 @@ object Bm25Search {
           Bm25Index.tfNorm(col("tf"), col("dl"), col("avgdl"), p)).as("partial"))
   }
 
+  /** Exact PHRASE search: top-k docs containing the query tokens as a
+    * CONSECUTIVE sequence, ranked by the phrase terms' BM25 score — the
+    * positional-query capability of a fulltext index, built without
+    * positional postings (the index stores tf only):
+    *
+    *   1. conjunctive candidate gate from the index — a doc survives iff
+    *      it matches EVERY distinct query term, counted in the same
+    *      aggregation that sums its BM25 score (one pass over the decoded
+    *      postings; a query containing an unindexed term matches nothing,
+    *      by construction);
+    *   2. adjacency verify by re-tokenizing ONLY the candidate docs'
+    *      text: slice-equality over the token array (array HOFs, no UDF).
+    *
+    * Scale: candidates are the INTERSECTION of the phrase terms' posting
+    * lists — phrases with any selective term verify a tiny doc set; the
+    * all-stopword phrase is the worst case (bounded by the rarest term's
+    * df), exactly as in a positional index, which would still decode that
+    * many position lists. The text join touches candidate rows only.
+    * Storing positions would trade this doc-text re-read for ~2-3×
+    * posting volume on EVERY query; at 100 TB the tf-only index plus
+    * candidate-bounded verify is the cheaper default.
+    */
+  def searchPhrase(queries: DataFrame, index: Bm25IndexTables, docsText: DataFrame,
+                   k: Int, p: Bm25Params = Bm25Params()): DataFrame = {
+    val qterms = compileQueries(queries, index.termStats)
+    val decoded = index.decode(
+      index.blocks.join(broadcast(qterms.select(col("term_id")).distinct()), "term_id"))
+    val h = hits(qterms, decoded, index.corpusStats, p)
+    // distinct-term count BEFORE the dictionary join: a query term absent
+    // from the corpus must fail the conjunction (no doc contains it), not
+    // silently drop out of it
+    val nPerQ = queries
+      .select(col("qid"),
+        explode(array_distinct(Tokenizer.tokenizeQuery(col("text")))).as("t"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("qn"))
+    // one aggregation: matched-term count (conjunctive gate) + the
+    // canonical-order score sum (same arithmetic as [[scores]])
+    val scored = h
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("term_id"), col("partial")))).as("ps"))
+      .select(col("qid"), col("doc_id"), size(col("ps")).as("mn"),
+        expr("aggregate(ps, 0d, (acc, x) -> acc + x.partial)").as("score"))
+    val conj = scored.join(broadcast(nPerQ), "qid").filter(col("mn") === col("qn"))
+    val ptoks = queries.select(col("qid"), Tokenizer.tokenizeQuery(col("text")).as("pt"))
+    val verified = conj
+      .join(docsText.select(col("doc_id"),
+        Tokenizer.tokenizeDoc(col("text")).as("toks")), "doc_id")
+      .join(broadcast(ptoks), "qid")
+      // guard the sequence() bounds: Spark's sequence(1, n) DESCENDS for
+      // n < 1, so the short-doc case must short-circuit first
+      .filter(size(col("pt")) > 0 && size(col("toks")) >= size(col("pt")) &&
+        expr("""exists(sequence(1, size(toks) - size(pt) + 1),
+               |  i -> slice(toks, i, size(pt)) = pt)""".stripMargin))
+      .select(col("qid"), col("doc_id"), col("score"))
+    topK(verified, k)
+  }
+
   /** Merge rankings (reference utility/rankings/merge.py:14-41): per
     * (qid, doc) keep the best score across inputs, then re-rank 1..k. */
   def mergeRankings(rankings: Seq[DataFrame], k: Int): DataFrame =

@@ -57,6 +57,33 @@ class Bm25EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("phrase search: adjacency required, scrambled order rejected, score = full BM25") {
+    // planted corpus: doc 0 has the phrase; doc 1 has the same terms
+    // NON-adjacent; doc 2 has them in the wrong order; doc 3 repeats the
+    // phrase twice (higher tf); doc 4 shares no terms
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha x beta y gamma z"),
+      (2L, "gamma beta alpha delta"),
+      (3L, "alpha beta gamma then alpha beta gamma again"),
+      (4L, "zeta eta theta")).toDF("doc_id", "text")
+    val index = Bm25IndexTables.fromDocs(docs)
+    val queries = Seq((1L, "alpha beta gamma")).toDF("qid", "text")
+    val got = Bm25Search.searchPhrase(queries, index, docs, 10)
+      .select(col("qid"), col("doc_id"), col("rank"), col("score"))
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    assert(got.map(_._2).toSeq == Seq(3L, 0L),
+      s"phrase must match docs 3 and 0 only (3 first: higher tf): $got")
+    // the phrase score is the ordinary BM25 sum over the phrase terms —
+    // identical to searchFull's score for the same (query, doc)
+    val full = Bm25Search.searchFull(queries, index, 10)
+      .select(col("doc_id"), col("score")).as[(Long, Double)].collect().toMap
+    got.foreach { case (_, d, _, s) => assert(s == full(d), s"doc $d score") }
+    // a query with an out-of-vocabulary term can never phrase-match
+    val oov = Seq((1L, "alpha beta nosuchterm")).toDF("qid", "text")
+    assert(Bm25Search.searchPhrase(oov, index, docs, 10).count() == 0L)
+  }
+
   test("WAND-pruned path ≡ full path (pruning is exact) and routing is non-trivial") {
     // blockSpan small enough that the corpus spans many blocks — the
     // adaptive router then sends sparse-term queries down the WAND path
