@@ -295,7 +295,12 @@ object SparkEntry {
         restrictedRankingFor(s, dir, inThird = false).count(); ()
       },
       timed("ivf_model") { ivfFor(s, dir)._2.count(); () },
-      timed("train_triples") { triplesFor(s, dir).count(); () })
+      timed("train_triples") { triplesFor(s, dir).count(); () },
+      // the reference scores each training batch once and feeds the same
+      // tensor to both loss reductions (colbert.py:71-87 →
+      // training.py:159-196) — the matrix is the shared fixture, the two
+      // train_* queries are its consumers
+      timed("train_ib_matrix") { ibScoresFor(s, dir).count(); () })
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -601,8 +606,10 @@ object SparkEntry {
       val trip = triplesFor(s, dir)
       val student = Training.fliprScoresFor(
         flagshipQueriesDf(s), trip.select(col("doc_id")).distinct(), indexFor(s, dir))
+      // both sides are batch-bounded; the student side is an aggregate
+      // output with no size stats, so hint the broadcast explicitly
       val nway = trip
-        .join(student, Seq("qid", "doc_id"))
+        .join(broadcast(student), Seq("qid", "doc_id"))
         .select(col("qid"), col("way"),
           col("score").as("teacher"), col("student_score").as("student"))
       val ib = ibScoresFor(s, dir)

@@ -35,6 +35,19 @@ object Bm25Search {
       .agg(count(lit(1)).cast("int").as("qtf"))
       .join(termStats.select(col("term"), col("term_id"), col("idf"), col("df")), "term")
 
+  /** [[compileQueries]] with the serving-path fast lane: a driver-sized
+    * batch (≤ [[MaxDriverCompileQueries]]) compiles on the driver into a
+    * LocalRelation — one dictionary lookup job instead of a
+    * tokenize→groupBy→join stage chain per downstream reference (the
+    * same routing [[searchPersisted]] uses); larger batches keep the
+    * fully distributed plan. Identical rows either way. */
+  def compileQueriesAuto(queries: DataFrame, termStats: DataFrame): DataFrame =
+    collectBatch(queries) match {
+      case Some(rows) =>
+        compileRowsLocal(queries.sparkSession, tokenizeRows(rows), termStats)
+      case None => compileQueries(queries, termStats)
+    }
+
   /** Score hits: compiled query terms ⋈ decoded postings on term.
     * The query side is broadcast (J1 in SURVEY §2.4 — the IVF probe). */
   def hits(qterms: DataFrame, postingsWithDl: DataFrame, corpusStats: DataFrame,

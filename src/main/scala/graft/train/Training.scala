@@ -108,7 +108,10 @@ object Training {
                     p: Bm25Params = Bm25Params()): DataFrame = {
     val batchDocs = triples.select(col("doc_id")).distinct()
     val qids = triples.select(col("qid")).distinct()
-    val qterms = Bm25Search.compileQueries(
+    // batch queries are bounded by construction (bsize·nway rows), so the
+    // compile takes the driver fast lane — one dictionary lookup job, not
+    // a tokenize→groupBy→join stage chain per downstream reference
+    val qterms = Bm25Search.compileQueriesAuto(
       queries.join(qids, Seq("qid"), "left_semi"), index.termStats)
     val decoded = index.decode(
         index.blocks.join(broadcast(qterms.select(col("term_id")).distinct()), "term_id"))
@@ -117,10 +120,13 @@ object Training {
     val ownNegs = triples.filter(col("way") > 0).select(col("qid"), col("doc_id"))
     val ownPos = triples.filter(col("way") === 0)
       .select(col("qid"), col("doc_id"), lit(1).as("label"))
-    qids.crossJoin(batchDocs)
-      .join(ownNegs, Seq("qid", "doc_id"), "left_anti")
-      .join(scored, Seq("qid", "doc_id"), "left")
-      .join(ownPos, Seq("qid", "doc_id"), "left")
+    // every join side is batch-bounded — broadcast hints keep the matrix
+    // assembly free of sort-merge shuffles (the aggregate outputs carry no
+    // size stats, so the planner alone can pick SMJ for k-row frames)
+    qids.crossJoin(broadcast(batchDocs))
+      .join(broadcast(ownNegs), Seq("qid", "doc_id"), "left_anti")
+      .join(broadcast(scored), Seq("qid", "doc_id"), "left")
+      .join(broadcast(ownPos), Seq("qid", "doc_id"), "left")
       .select(col("qid"), col("doc_id"),
         coalesce(col("score"), lit(0.0)).as("score"),
         coalesce(col("label"), lit(0)).as("label"))
@@ -132,7 +138,7 @@ object Training {
     * is the same reduce followed by top-k. */
   def fliprScoresFor(queries: DataFrame, docIds: DataFrame, index: Bm25IndexTables,
                      topTerms: Int = 2, p: Bm25Params = Bm25Params()): DataFrame = {
-    val qterms = Bm25Search.compileQueries(queries, index.termStats)
+    val qterms = Bm25Search.compileQueriesAuto(queries, index.termStats)
     val decoded = index.decode(
         index.blocks.join(broadcast(qterms.select(col("term_id")).distinct()), "term_id"))
       .join(broadcast(docIds.select(col("doc_id"))), Seq("doc_id"), "left_semi")
@@ -166,36 +172,50 @@ object Training {
     *
     * `nway`: (qid, way, teacher, student); `ib`: [[inBatchScores]] rows. */
   def losses(nway: DataFrame, ib: DataFrame): DataFrame = {
-    val nloss = nway
-      .select(col("qid"), col("way"),
-        round(col("student"), 4).as("s"), round(col("teacher"), 4).as("t"))
+    // ONE tagged union + ONE groupBy(qid) replaces the previous per-side
+    // groupBys + join: per-qid inputs are (nway + batch)-bounded, so the
+    // loss reduction is naturally a single shuffle — the three-stage plan
+    // paid two extra tiny-data exchanges per run. Rounding and fold order
+    // are unchanged (sort keys and sums identical), so results are
+    // bit-identical to the two-sided plan.
+    val nRows = nway.select(col("qid"),
+      struct(col("way").cast("int").as("way"),
+        round(col("student"), 4).as("s"), round(col("teacher"), 4).as("t")).as("nx"),
+      lit(null).cast("struct<doc_id:bigint,s:double>").as("ix"),
+      lit(null).cast("double").as("pos_s"))
+    val iRows = ib.select(col("qid"),
+      lit(null).cast("struct<way:int,s:double,t:double>").as("nx"),
+      struct(col("doc_id").cast("bigint").as("doc_id"),
+        round(col("score"), 4).as("s")).as("ix"),
+      when(col("label") === 1, round(col("score"), 4)).as("pos_s"))
+    nRows.unionByName(iRows)
       .groupBy(col("qid"))
-      .agg(sort_array(collect_list(struct(col("way"), col("s"), col("t")))).as("xs"))
-      .select(col("qid"),
+      // collect_list skips the other side's null rows, so xs holds exactly
+      // the nway structs and ys exactly the in-batch structs
+      .agg(sort_array(collect_list(col("nx"))).as("xs"),
+        sort_array(collect_list(col("ix"))).as("ys"),
+        max(col("pos_s")).as("si_pos"))
+      // inner-join semantics of the previous two-sided plan: a qid present
+      // on only one side emits no row
+      .filter(size(col("xs")) > 0 && size(col("ys")) > 0)
+      .select(col("qid"), col("si_pos"),
         expr("xs[0].s").as("s_pos"),
         expr("transform(xs, x -> x.s)").as("ss"),
-        expr("transform(xs, x -> x.t)").as("ts"))
+        expr("transform(xs, x -> x.t)").as("ts"),
+        expr("transform(ys, y -> y.s)").as("iss"))
       .withColumn("m_s", expr("array_max(ss)"))
       .withColumn("m_t", expr("array_max(ts)"))
       .withColumn("zs", expr("aggregate(ss, 0d, (a, x) -> a + exp(x - m_s))"))
       .withColumn("zt", expr("aggregate(ts, 0d, (a, x) -> a + exp(x - m_t))"))
+      .withColumn("m_i", expr("array_max(iss)"))
+      .withColumn("z_i", expr("aggregate(iss, 0d, (a, x) -> a + exp(x - m_i))"))
       .select(col("qid"),
         (-(col("s_pos") - col("m_s") - log(col("zs")))).as("ce_nway"),
         expr("""aggregate(
                   zip_with(ss, ts, (sv, tv) ->
                     exp(tv - m_t) / zt *
                       ((tv - m_t - ln(zt)) - (sv - m_s - ln(zs)))),
-                  0d, (a, x) -> a + x)""").as("kl_distill"))
-    val iloss = ib
-      .select(col("qid"), col("doc_id"), round(col("score"), 4).as("s"), col("label"))
-      .groupBy(col("qid"))
-      .agg(
-        sort_array(collect_list(struct(col("doc_id"), col("s")))).as("xs"),
-        max(when(col("label") === 1, col("s"))).as("s_pos"))
-      .select(col("qid"), col("s_pos"), expr("transform(xs, x -> x.s)").as("ss"))
-      .withColumn("m", expr("array_max(ss)"))
-      .withColumn("z", expr("aggregate(ss, 0d, (a, x) -> a + exp(x - m))"))
-      .select(col("qid"), (-(col("s_pos") - col("m") - log(col("z")))).as("ib_ce"))
-    nloss.join(iloss, "qid")
+                  0d, (a, x) -> a + x)""").as("kl_distill"),
+        (-(col("si_pos") - col("m_i") - log(col("z_i")))).as("ib_ce"))
   }
 }
