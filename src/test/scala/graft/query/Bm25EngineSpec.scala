@@ -195,6 +195,17 @@ class Bm25EngineSpec extends AnyFunSuite {
     assert(viaPersisted == viaFull)
   }
 
+  test("compileQueriesAuto (driver fast lane) ≡ compileQueries (distributed) rows") {
+    // the training operators route through the auto compile; its driver
+    // branch must resolve exactly the rows the distributed plan produces
+    val index = Bm25IndexTables.fromDocs(docsWithIds)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("term"), col("qtf"), col("term_id"), col("idf"), col("df"))
+        .as[(Long, String, Int, Long, Double, Long)].collect().toSet
+    assert(rows(Bm25Search.compileQueriesAuto(queriesDf, index.termStats)) ==
+      rows(Bm25Search.compileQueries(queriesDf, index.termStats)))
+  }
+
   test("randomized corpora: WAND ≡ full across 5 seeds (pruning never drops a top-k doc)") {
     // blockSpan 8 over 150 docs → ~19 blocks, so the router genuinely
     // splits sparse-term queries onto the WAND path per corpus
