@@ -30,6 +30,10 @@ object Bm25Search {
     * idf. Unknown terms drop out via the inner join (they cannot score). */
   def compileQueries(queries: DataFrame, termStats: DataFrame): DataFrame =
     queries
+      // null qid/text rows cannot produce a ranking row; dropping them
+      // here keeps the distributed plan aligned with the driver fast lane
+      // (whose primitive decode could not represent a null qid anyway)
+      .filter(col("qid").isNotNull && col("text").isNotNull)
       .select(col("qid"), explode(Tokenizer.tokenizeQuery(col("text"))).as("term"))
       .groupBy(col("qid"), col("term"))
       .agg(count(lit(1)).cast("int").as("qtf"))
@@ -143,16 +147,26 @@ object Bm25Search {
     val spark = queries.sparkSession
     import spark.implicits._
     val rows = queries.select(col("qid").cast("long"), col("text"))
+      // same null-row dropping as compileQueries — and a null qid would
+      // NPE the primitive Long decode below
+      .filter(col("qid").isNotNull && col("text").isNotNull)
       .as[(Long, String)].limit(cap + 1).collect()
     if (rows.length > cap) None else Some(rows.toSeq)
   }
 
+  /** Driver-side (qid, term, qtf) triples. Multiplicity is counted across
+    * ALL of a qid's rows (a duplicated qid contributes one merged group,
+    * exactly like the distributed groupBy(qid, term)); null texts drop
+    * like explode(tokenize(null)) does. Output order is deterministic —
+    * the triples become LocalRelation literals. */
   private[query] def tokenizeRows(rows: Seq[(Long, String)]): Seq[(Long, String, Int)] =
     rows.flatMap { case (qid, text) =>
-      Tokenizer.tokenize(text, Tokenizer.QueryMaxTerms)
-        .groupBy(identity).toSeq.sortBy(_._1)
-        .map { case (t, occ) => (qid, t, occ.length) }
-    }
+        Option(Tokenizer.tokenize(text, Tokenizer.QueryMaxTerms))
+          .fold(Seq.empty[(Long, String)])(_.toSeq.map(t => (qid, t)))
+      }
+      .groupBy(identity).toSeq
+      .map { case ((qid, t), occ) => (qid, t, occ.size) }
+      .sortBy { case (qid, t, _) => (qid, t) }
 
   /** Driver-side tokenize + multiplicity count of a query batch:
     * (qid, term, qtf) triples via the SAME scanner the Catalyst

@@ -189,6 +189,10 @@ object Training {
         round(col("score"), 4).as("s")).as("ix"),
       when(col("label") === 1, round(col("score"), 4)).as("pos_s"))
     nRows.unionByName(iRows)
+      // the previous plan's inner join on qid dropped null-qid rows (SQL
+      // null keys never match); groupBy would instead collect them into
+      // one spurious group — keep the old semantics
+      .filter(col("qid").isNotNull)
       .groupBy(col("qid"))
       // collect_list skips the other side's null rows, so xs holds exactly
       // the nway structs and ys exactly the in-batch structs

@@ -204,6 +204,11 @@ class Bm25EngineSpec extends AnyFunSuite {
         .as[(Long, String, Int, Long, Double, Long)].collect().toSet
     assert(rows(Bm25Search.compileQueriesAuto(queriesDf, index.termStats)) ==
       rows(Bm25Search.compileQueries(queriesDf, index.termStats)))
+    // duplicated qid rows: the driver lane must merge multiplicity across
+    // rows exactly like the distributed groupBy(qid, term)
+    val dup = queriesDf.union(queriesDf.limit(2))
+    assert(rows(Bm25Search.compileQueriesAuto(dup, index.termStats)) ==
+      rows(Bm25Search.compileQueries(dup, index.termStats)))
   }
 
   test("randomized corpora: WAND ≡ full across 5 seeds (pruning never drops a top-k doc)") {
