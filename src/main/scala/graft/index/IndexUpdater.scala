@@ -49,8 +49,18 @@ object IndexUpdater {
     }
   }
 
+  /** Segments whose 4-stage build COMMITTED (every stage manifest
+    * present) — the only segments readers may consume. A crashed add()/
+    * ingest leaves a partial seg-* dir behind; reading its uncommitted
+    * stages would throw (missing manifest / missing parquet) or, worse,
+    * serve a half-built table. Partial dirs still count for seg-id
+    * allocation (segmentDirs), so a retry never collides with one. */
+  def committedSegmentDirs(indexDir: String): Seq[String] =
+    segmentDirs(indexDir).filter(d =>
+      IndexBuilder.Stages.forall(s => TableManifest.exists(IndexBuilder.stageDir(d, s))))
+
   private def maxDocId(spark: SparkSession, indexDir: String): Long = {
-    val dirs = IndexBuilder.stageDir(indexDir, "docs") +: segmentDirs(indexDir).map(d => s"$d/docs")
+    val dirs = IndexBuilder.stageDir(indexDir, "docs") +: committedSegmentDirs(indexDir).map(d => s"$d/docs")
     // coalesce: an empty docs table (all rows lang-filtered) yields NULL max
     dirs.map(d => spark.read.parquet(d)
       .agg(coalesce(max(col("doc_id")), lit(-1L))).head.getLong(0)).max
@@ -111,7 +121,7 @@ object IndexUpdater {
     * correct forever. */
   def remove(spark: SparkSession, indexDir: String, docIds: DataFrame): Unit = {
     val dir = tombDir(indexDir)
-    val docsDl = (indexDir +: segmentDirs(indexDir))
+    val docsDl = (indexDir +: committedSegmentDirs(indexDir))
       .map(d => spark.read.parquet(IndexBuilder.stageDir(d, "docs"))
         .select(col("doc_id"), col("dl")))
       .reduce(_ unionByName _)
@@ -127,16 +137,25 @@ object IndexUpdater {
           else prev.select(col("doc_id")).join(docsDl, Seq("doc_id"), "inner")
         prevDl.unionByName(incoming).distinct()
       } else incoming.distinct()
-    // write beside, then swap: overwriting the directory would race its
-    // own lazy-scanned input
+    // write + MANIFEST beside, then swap: overwriting the directory would
+    // race its own lazy-scanned input, and committing the manifest before
+    // the swap means the incoming dir is complete the instant it lands —
+    // a crash can only lose the swap itself (two renames), never leave a
+    // manifest-less data dir that readers would treat as "no tombstones".
+    // The old set is moved ASIDE (not deleted) until the new one is in
+    // place, so even a crash inside the swap window leaves both sets on
+    // disk for recovery rather than silently resurrecting deleted docs.
     val tmp = s"$dir.tmp-${System.nanoTime()}"
     all.write.mode("overwrite").parquet(tmp)
-    val dirPath = Paths.get(dir)
-    if (Files.exists(dirPath)) deleteRecursively(dirPath)
-    Files.move(Paths.get(tmp), dirPath)
-    val lineage = TableManifest.lineageOf(spark, dir)
-    TableManifest.commit(dir, TableManifest("tombstones", 0L,
+    val lineage = TableManifest.lineageOf(spark, tmp)
+    TableManifest.commit(tmp, TableManifest("tombstones", 0L,
       lineage.map(_.rows).sum, lineage, Map.empty))
+    val dirPath = Paths.get(dir)
+    val aside = Paths.get(s"$dir.old-${System.nanoTime()}")
+    val hadOld = Files.exists(dirPath)
+    if (hadOld) Files.move(dirPath, aside)
+    Files.move(Paths.get(tmp), dirPath)
+    if (hadOld) deleteRecursively(aside)
   }
 
   /** Convenience overload for small driver-side id lists (CLI / tests). */
@@ -167,7 +186,7 @@ object IndexUpdater {
     * layer's pid → passage text source (reference searcher.collection[pid],
     * server.py:26-31). */
   def liveDocs(spark: SparkSession, indexDir: String): DataFrame = {
-    val allDirs = indexDir +: segmentDirs(indexDir)
+    val allDirs = indexDir +: committedSegmentDirs(indexDir)
     val docs = allDirs.map(d => spark.read.parquet(IndexBuilder.stageDir(d, "docs")))
       .reduce(_ unionByName _)
     tombstones(spark, indexDir) match {
@@ -180,7 +199,7 @@ object IndexUpdater {
     * stats recomputed over the live merged corpus (exactness) and WAND
     * bounds rescaled (admissibility). */
   def openMerged(spark: SparkSession, indexDir: String): Bm25IndexTables = {
-    val segs = segmentDirs(indexDir)
+    val segs = committedSegmentDirs(indexDir)
     if (segs.isEmpty && tombstones(spark, indexDir).isEmpty)
       return IndexBuilder.open(spark, indexDir)
 
@@ -250,7 +269,10 @@ object IndexUpdater {
         }
         liveTotals.select(
           col("n_docs"),
-          (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"),
+          // NULL avgdl when everything is tombstoned (ANSI /0 would throw)
+          // — same contract as the build's empty-corpus corpusstats row
+          when(col("n_docs") === 0, lit(null).cast("double"))
+            .otherwise(col("sum_dl").cast("double") / col("n_docs")).as("avgdl"),
           col("sum_dl"))
       }
 
@@ -303,13 +325,23 @@ object IndexUpdater {
     }
     val termStats = Bm25Index.withIdf(dfLive, corpus)
 
-    // admissible WAND bound scale: avgdl_now vs the smallest build avgdl
-    val avgdlNow = corpus.select(col("avgdl")).head.getDouble(0)
-    val buildAvgdls = allDirs.map { d =>
-      spark.read.parquet(IndexBuilder.stageDir(d, "corpusstats"))
-        .select(col("avgdl")).head.getDouble(0)
+    // admissible WAND bound scale: avgdl_now vs the smallest build avgdl.
+    // Null-safe: an all-filtered (empty) segment commits corpusstats
+    // (0, null, 0) — it contributed no blocks, so it has no bounds to
+    // rescale and drops out; an entirely empty live corpus (everything
+    // tombstoned) serves no postings, so scale 1.0 is vacuously safe.
+    def avgdlOf(df: DataFrame): Option[Double] = {
+      val r = df.select(col("avgdl")).head
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
     }
-    val scale = math.max(1.0, avgdlNow / buildAvgdls.min)
+    val avgdlNow = avgdlOf(corpus)
+    val buildAvgdls = allDirs.flatMap { d =>
+      avgdlOf(spark.read.parquet(IndexBuilder.stageDir(d, "corpusstats")))
+    }.filter(_ > 0.0)
+    val scale = (avgdlNow, buildAvgdls) match {
+      case (Some(now), bs) if bs.nonEmpty => math.max(1.0, now / bs.min)
+      case _ => 1.0
+    }
 
     // the id span hint keeps the WAND router's block count honest on
     // merged indexes: tombstones and filtered segments leave doc-id holes,
@@ -351,7 +383,7 @@ object IndexUpdater {
   def compact(spark: SparkSession, indexDir: String, targetDir: String,
               p: Bm25Params = Bm25Params()): Unit = {
     val params = if (p == Bm25Params()) paramsOf(indexDir) else p
-    val allDirs = indexDir +: segmentDirs(indexDir)
+    val allDirs = indexDir +: committedSegmentDirs(indexDir)
     val docs = allDirs.map(d => spark.read.parquet(IndexBuilder.stageDir(d, "docs")))
       .reduce(_ unionByName _)
     val live = tombstones(spark, indexDir) match {

@@ -146,12 +146,16 @@ object Bm25Search {
                                   cap: Int = MaxDriverCompileQueries): Option[Seq[(Long, String)]] = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val rows = queries.select(col("qid").cast("long"), col("text"))
-      // same null-row dropping as compileQueries — and a null qid would
-      // NPE the primitive Long decode below
+    val rows = queries
+      // same null-row dropping as compileQueries (on the ORIGINAL columns
+      // — a null qid would NPE the primitive decode below)
       .filter(col("qid").isNotNull && col("text").isNotNull)
-      .as[(Long, String)].limit(cap + 1).collect()
-    if (rows.length > cap) None else Some(rows.toSeq)
+      .select(col("qid").cast("long"), col("text"))
+      .as[(Option[Long], String)].limit(cap + 1).collect()
+    // a non-null qid that does not CAST to long (string ids) can only be
+    // grouped by the distributed plan — fall back rather than drop it
+    if (rows.length > cap || rows.exists(_._1.isEmpty)) None
+    else Some(rows.map { case (q, t) => (q.get, t) }.toSeq)
   }
 
   /** Driver-side (qid, term, qtf) triples. Multiplicity is counted across
@@ -174,8 +178,15 @@ object Bm25Search {
   def tokenizeQueriesDriver(queries: DataFrame): Seq[(Long, String, Int)] = {
     val spark = queries.sparkSession
     import spark.implicits._
-    tokenizeRows(queries.select(col("qid").cast("long"), col("text"))
-      .as[(Long, String)].collect().toSeq)
+    val rows = queries
+      // null qid/text rows drop exactly like compileQueries' filter
+      .filter(col("qid").isNotNull && col("text").isNotNull)
+      .select(col("qid").cast("long"), col("text"))
+      .as[(Option[Long], String)].collect()
+    require(rows.forall(_._1.isDefined),
+      "driver-side query compile needs long-castable qids; route string-qid " +
+        "batches through the distributed compileQueries instead")
+    tokenizeRows(rows.map { case (q, t) => (q.get, t) }.toSeq)
   }
 
   /** (term → (term_id, idf, df)) for the given terms — ONE isin-filtered
@@ -407,10 +418,13 @@ object Bm25Search {
     // distinct-term count BEFORE the dictionary join: a query term absent
     // from the corpus must fail the conjunction (no doc contains it), not
     // silently drop out of it
+    // countDistinct, not count: a qid duplicated across query rows must
+    // not double its term count (the compile merges such rows into one
+    // group, so mn could never reach a per-row-summed qn)
     val nPerQ = queries
       .select(col("qid"),
         explode(array_distinct(Tokenizer.tokenizeQuery(col("text")))).as("t"))
-      .groupBy(col("qid")).agg(count(lit(1)).as("qn"))
+      .groupBy(col("qid")).agg(countDistinct(col("t")).as("qn"))
     // one aggregation: matched-term count (conjunctive gate) + the
     // canonical-order score sum (same arithmetic as [[scores]])
     val scored = h
@@ -419,7 +433,11 @@ object Bm25Search {
       .select(col("qid"), col("doc_id"), size(col("ps")).as("mn"),
         expr("aggregate(ps, 0d, (acc, x) -> acc + x.partial)").as("score"))
     val conj = scored.join(broadcast(nPerQ), "qid").filter(col("mn") === col("qn"))
+    // one adjacency pattern per qid (a qid carrying two DIFFERENT texts
+    // has no well-defined single phrase; duplicates of the same text
+    // collapse to the identical row)
     val ptoks = queries.select(col("qid"), Tokenizer.tokenizeQuery(col("text")).as("pt"))
+      .dropDuplicates("qid")
     val verified = conj
       .join(docsText.select(col("doc_id"),
         Tokenizer.tokenizeDoc(col("text")).as("toks")), "doc_id")

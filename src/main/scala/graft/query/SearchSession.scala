@@ -94,7 +94,9 @@ final class SearchSession private (spark: SparkSession, val index: Bm25IndexTabl
     * (query, k) in an LRU (reference maxsize 10^6; k capped at 100).
     * The k-row collect IS the response — bounded by construction. */
   def serve(query: String, k: Int): Seq[ServeHit] = {
-    val kk = math.min(k, MaxServeK)
+    // clamp into [1, MaxServeK]: a non-positive k is a caller error that
+    // would otherwise reach the top-k heap as an invalid bound
+    val kk = math.min(math.max(k, 1), MaxServeK)
     cached((query, kk)) {
       import spark.implicits._
       val hits = searchOne(query, kk)
@@ -201,8 +203,7 @@ object SearchSession {
     // corpusStats is ONE row of session constants — collect it into a
     // LocalRelation so the per-query crossJoin(broadcast(...)) builds from
     // literals instead of scheduling a cache-scan job every query
-    val statsLocal = spark.createDataFrame(
-      java.util.Arrays.asList(idx.corpusStats.collect(): _*), idx.corpusStats.schema)
+    val statsLocal = idx.corpusStatsLocal
     // blocks are cached in FEW partitions too: a point query's decode job
     // otherwise schedules one task per source parquet file (32 at full
     // machine width — measured 404 ms of a ~600 ms query in the 32-task

@@ -33,10 +33,12 @@ object TopKAggregator {
 
   /** (doc_id, score) → array<struct<doc_id,score>> of the k best rows in
     * (score desc, doc_id asc) order. */
-  def heap_topk(docId: Column, score: Column, k: Int): Column =
+  def heap_topk(docId: Column, score: Column, k: Int): Column = {
+    require(k >= 1, s"top-k needs k >= 1, got $k")
     GraftShim.column(HeapTopKAggExpr(
       GraftShim.expression(docId), GraftShim.expression(score), k)
       .toAggregateExpression())
+  }
 
   /** (qid, doc_id, score) → (qid, doc_id, rank, score): top-k per qid with
     * map-side partial heaps (no global per-qid sort shuffle). */

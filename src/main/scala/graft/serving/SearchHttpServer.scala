@@ -31,7 +31,16 @@ final class SearchHttpServer private (server: HttpServer, session: SearchSession
   def requestCount: Long = counter.get()
   private val counter = new java.util.concurrent.atomic.AtomicLong(0)
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    // the server does not shut down an externally supplied executor:
+    // without this every start/stop cycle strands `threads` non-daemon
+    // pool threads (and a driver returning from main would hang on exit)
+    server.getExecutor match {
+      case e: java.util.concurrent.ExecutorService => e.shutdown()
+      case _ => ()
+    }
+  }
 
   private def handle(ex: HttpExchange): Unit =
     try {
@@ -42,7 +51,10 @@ final class SearchHttpServer private (server: HttpServer, session: SearchSession
           case None => respond(ex, 400, """{"error":"missing query parameter"}""")
           case Some(q) =>
             counter.incrementAndGet()
-            val k = params.get("k").flatMap(v => v.toIntOption).getOrElse(10)
+            // clamp BELOW too: a non-positive k would reach the top-k
+            // heap as an invalid bound and crash the query job — one 400
+            // per malformed request, not one failed Spark job
+            val k = math.max(1, params.get("k").flatMap(v => v.toIntOption).getOrElse(10))
             respond(ex, 200, SearchHttpServer.renderResponse(q, session.serve(q, k)))
         }
       }

@@ -74,7 +74,9 @@ object StreamingIngest {
     * watermark+window streaming aggregation over the pages stream. */
   def crawlStats(pagesStream: DataFrame, watermark: String = "2 hours"): DataFrame =
     pagesStream
-      .withColumn("host", regexp_extract(col("url"), "https?://([^/]+)/", 1))
+      // no trailing "/": a path-less url ("https://example.com") must
+      // still bucket under its host, not under ""
+      .withColumn("host", regexp_extract(col("url"), "https?://([^/]+)", 1))
       .withWatermark("warc_ts", watermark)
       .groupBy(window(col("warc_ts"), "1 hour"), col("host"))
       .agg(count(lit(1)).as("n_pages"), sum(length(col("text"))).as("n_chars"))

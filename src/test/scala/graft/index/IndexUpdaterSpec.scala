@@ -166,6 +166,45 @@ class IndexUpdaterSpec extends AnyFunSuite {
     }
   }
 
+  test("an all-filtered (empty) segment must not brick the merged open") {
+    val dir = tmp()
+    IndexBuilder.build(spark, basePages, dir)
+    val want = byUrl(
+      Bm25Search.searchFull(queries, IndexBuilder.open(spark, dir), 10),
+      spark.read.parquet(IndexBuilder.stageDir(dir, "docs")))
+    // every row lang-filtered away → the segment commits corpusstats
+    // (0, null, 0); openMerged's avgdl reads must tolerate the null
+    IndexUpdater.add(spark, dir, extraPages.withColumn("lang", lit("fr")))
+    val got = byUrl(
+      Bm25Search.searchFull(queries, IndexUpdater.openMerged(spark, dir), 10),
+      mergedDocs(dir))
+    assert(got == want, "empty segment changed results (or open crashed)")
+  }
+
+  test("a crashed (uncommitted) segment build is invisible to readers") {
+    val dir = tmp()
+    IndexBuilder.build(spark, basePages, dir)
+    val want = byUrl(
+      Bm25Search.searchFull(queries, IndexBuilder.open(spark, dir), 10),
+      spark.read.parquet(IndexBuilder.stageDir(dir, "docs")))
+    // simulate an add() that died mid-build: docs stage committed, the
+    // rest absent — exactly what a crash between stages leaves behind
+    val partial = s"$dir/updates/seg-0"
+    val docsDir = IndexBuilder.stageDir(partial, "docs")
+    extraPages.limit(10).select(lit(7L).as("doc_id"), col("url"), col("warc_ts"),
+      col("text"), col("lang"), lit(3).as("dl")).write.parquet(docsDir)
+    TableManifest.commit(docsDir,
+      TableManifest("docs", 0L, 10L, Seq.empty, Map.empty))
+    assert(IndexUpdater.committedSegmentDirs(dir).isEmpty)
+    val got = byUrl(
+      Bm25Search.searchFull(queries, IndexUpdater.openMerged(spark, dir), 10),
+      spark.read.parquet(IndexBuilder.stageDir(dir, "docs")))
+    assert(got == want, "partial segment leaked into the merged read")
+    // and a retried add() never collides with the partial dir's seg id
+    val seg = IndexUpdater.add(spark, dir, extraPages)
+    assert(seg.endsWith("seg-1"))
+  }
+
   test("compaction preserves results and clears the need for merge overhead") {
     val dir = tmp()
     IndexBuilder.build(spark, basePages, dir)

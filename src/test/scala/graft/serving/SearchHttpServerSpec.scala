@@ -73,6 +73,10 @@ class SearchHttpServerSpec extends AnyFunSuite {
       val weird = java.net.URLEncoder.encode("w1 \"x\\y\"", "UTF-8")
       val (ws, wb) = get(s"http://127.0.0.1:${server.port}/api/search?query=$weird&k=3")
       assert(ws == 200 && wb.contains("""{"query":"w1 \"x\\y\"""""))
+
+      // a non-positive k clamps to 1 instead of crashing the query job
+      val (ns, nb) = get(s"http://127.0.0.1:${server.port}/api/search?query=$enc&k=-1")
+      assert(ns == 200 && nb.contains("\"rank\":1") && !nb.contains("\"rank\":2"))
     } finally {
       server.stop()
       session.close()
