@@ -108,6 +108,15 @@ object SparkEntry {
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Verified jaccard near-dup pairs, computed once per (session, dir)
+    * and shared by dedup_jaccard (the pair report) and dedup_clusters
+    * (the resolution over the same pairs). */
+  private val jaccardCache = new SessionCache[DataFrame]
+  private def jaccardPairsFor(s: SparkSession, dir: String): DataFrame =
+    jaccardCache.getOrElseUpdate(s, dir) {
+      Dedup.ngramJaccardPairs(docs(s, dir)).persist()
+    }
+
   /** Training triples (nway=4) derived once per (session, dir) from the
     * flagship ranking + conjunctive qrels and shared by the train_*
     * entries — the reference reads ONE triples file per training run
@@ -300,7 +309,11 @@ object SparkEntry {
       // tensor to both loss reductions (colbert.py:71-87 →
       // training.py:159-196) — the matrix is the shared fixture, the two
       // train_* queries are its consumers
-      timed("train_ib_matrix") { ibScoresFor(s, dir).count(); () })
+      timed("train_ib_matrix") { ibScoresFor(s, dir).count(); () },
+      // pair generation feeds BOTH dedup_jaccard (the report) and
+      // dedup_clusters (the resolution) — without this the sweep charges
+      // the whole build to whichever runs first alphabetically
+      timed("jaccard_pairs") { jaccardPairsFor(s, dir).count(); () })
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -480,11 +493,14 @@ object SparkEntry {
 
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
 
-    "dedup_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
+    "dedup_jaccard" -> ((s, dir) => jaccardPairsFor(s, dir)),
 
     // near-dup CLUSTER resolution: verified jaccard pairs → connected
-    // components (min-label + pointer jumping) → one keeper per cluster
-    "dedup_clusters" -> ((s, dir) => Dedup.neardupClusters(docs(s, dir))),
+    // components (min-label + pointer jumping) → one keeper per cluster;
+    // consumes the SAME pair table dedup_jaccard emits (a real pipeline
+    // generates pairs once and feeds both the report and the resolution)
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.neardupClustersFromPairs(jaccardPairsFor(s, dir), docs(s, dir))),
 
     // benchmark decontamination: docs with doc_id % 50 == 0 stand in for
     // the held-out eval set; the remaining corpus is scanned for leaked

@@ -278,9 +278,14 @@ object Dedup {
     * are what the dedup pass drops. Docs in no pair are untouched by
     * dedup and emit no row. */
   def neardupClusters(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-                      maxShingleDf: Int = 1000): DataFrame = {
-    val pairs = ngramJaccardPairs(docs, n, threshold, maxShingleDf)
-      .select(col("doc_a"), col("doc_b"))
+                      maxShingleDf: Int = 1000): DataFrame =
+    neardupClustersFromPairs(ngramJaccardPairs(docs, n, threshold, maxShingleDf), docs)
+
+  /** [[neardupClusters]] over an ALREADY-COMPUTED verified pair table —
+    * a real dedup pipeline generates pairs once and feeds the same table
+    * to the pair report and the cluster resolution. */
+  def neardupClustersFromPairs(pairs0: DataFrame, docs: DataFrame): DataFrame = {
+    val pairs = pairs0.select(col("doc_a"), col("doc_b"))
     val comp = connectedComponents(pairs)
     val withLen = comp.join(
       docs.select(col("doc_id").as("id"),
