@@ -411,33 +411,99 @@ object Bm25Search {
     */
   def searchPhrase(queries: DataFrame, index: Bm25IndexTables, docsText: DataFrame,
                    k: Int, p: Bm25Params = Bm25Params()): DataFrame = {
-    val qterms = compileQueries(queries, index.termStats)
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // A driver-sized batch compiles ALL its per-qid metadata on the
+    // driver — compiled terms, rarest term, conjunctive term count,
+    // adjacency pattern — into LocalRelations (the routeWand pattern):
+    // the distributed formulation spent ~2/3 of its wall on the stage
+    // chain (compile join, rarest window, qn groupBy, pattern dedup)
+    // over frames of ≤ batch-size rows. Larger batches keep the fully
+    // distributed plan; rows are identical either way.
+    val local = collectBatch(queries)
+    val (qterms, rarest, nPerQ, ptoks) = local match {
+      case Some(rows) =>
+        val counts = tokenizeRows(rows) // merged distinct (qid, term, qtf)
+        val dict = lookupTerms(counts.map(_._2).distinct, index.termStats)
+        val compiled = counts.flatMap { case (qid, t, qtf) =>
+          dict.get(t).map { case (id, idf, df) => (qid, t, qtf, id, idf, df) }
+        }
+        val qtermsDf = compiled.toDF("qid", "term", "qtf", "term_id", "idf", "df")
+        val rarestDf = compiled.groupBy(_._1).values
+          .map(rs => rs.minBy(r => (r._6, r._4))).toSeq
+          .map(r => (r._1, r._4)).toDF("qid", "term_id")
+        // qn counts DISTINCT query tokens INCLUDING out-of-vocabulary
+        // ones (an OOV term must fail the conjunction) — counts is
+        // already one row per distinct (qid, term)
+        val nPerQDf = counts.groupBy(_._1).view.mapValues(_.size).toSeq
+          .toDF("qid", "qn")
+        // first text per qid in input order (one adjacency pattern each)
+        val firstText = rows.foldLeft(Vector.empty[(Long, String)]) {
+          case (acc, (qid, t)) =>
+            if (acc.exists(_._1 == qid)) acc else acc :+ (qid -> t)
+        }
+        val ptoksDf = firstText.map { case (qid, t) =>
+          (qid, Option(Tokenizer.tokenize(t, Tokenizer.QueryMaxTerms))
+            .map(_.toSeq).getOrElse(Seq.empty[String]))
+        }.toDF("qid", "pt")
+        (qtermsDf, rarestDf, nPerQDf, ptoksDf)
+      case None =>
+        val qtermsDf = compileQueries(queries, index.termStats)
+        val wMin = Window.partitionBy(col("qid"))
+          .orderBy(col("df").asc, col("term_id").asc)
+        val rarestDf = qtermsDf
+          .withColumn("rn", row_number().over(wMin)).filter(col("rn") === 1)
+          .select(col("qid"), col("term_id"))
+        val nPerQDf = queries
+          .filter(col("qid").isNotNull && col("text").isNotNull)
+          .select(col("qid"),
+            explode(array_distinct(Tokenizer.tokenizeQuery(col("text")))).as("t"))
+          .groupBy(col("qid")).agg(countDistinct(col("t")).as("qn"))
+        val ptoksDf = queries
+          .filter(col("qid").isNotNull && col("text").isNotNull)
+          .select(col("qid"), Tokenizer.tokenizeQuery(col("text")).as("pt"))
+          .dropDuplicates("qid")
+        (qtermsDf, rarestDf, nPerQDf, ptoksDf)
+    }
     val decoded = index.decode(
       index.blocks.join(broadcast(qterms.select(col("term_id")).distinct()), "term_id"))
-    val h = hits(qterms, decoded, index.corpusStats, p)
-    // distinct-term count BEFORE the dictionary join: a query term absent
-    // from the corpus must fail the conjunction (no doc contains it), not
-    // silently drop out of it
-    // countDistinct, not count: a qid duplicated across query rows must
-    // not double its term count (the compile merges such rows into one
-    // group, so mn could never reach a per-row-summed qn)
-    val nPerQ = queries
-      .select(col("qid"),
-        explode(array_distinct(Tokenizer.tokenizeQuery(col("text")))).as("t"))
-      .groupBy(col("qid")).agg(countDistinct(col("t")).as("qn"))
-    // one aggregation: matched-term count (conjunctive gate) + the
-    // canonical-order score sum (same arithmetic as [[scores]])
+    // Rarest-term-driven candidates: a conjunction-passing doc must hold
+    // EVERY phrase term, so only docs holding the qid's rarest (min-df)
+    // term can qualify — the candidate set is bounded by Σ_q df(rarest),
+    // never by the stopword terms' posting fanout (scoring every doc that
+    // shares ANY term with ANY phrase multiplies each common term's
+    // postings by the number of phrases containing it — asymptotically
+    // wrong at web scale).
+    val cand = decoded.select(col("term_id"), col("doc_id"))
+      .join(broadcast(rarest), "term_id")
+      .select(col("qid"), col("doc_id"))
+    // candidate × its qid's own terms (≤ query_max per row), then ONE
+    // equi-join against the decoded postings on (term_id, doc_id) — the
+    // per-(qid, doc, term) rows are identical to hits() restricted to the
+    // candidate docs, so scores and the conjunctive gate are unchanged
+    val h = cand
+      .join(broadcast(qterms.drop("term")), "qid")
+      .join(decoded.select(col("term_id"), col("doc_id"), col("tf"), col("dl")),
+        Seq("term_id", "doc_id"))
+      .crossJoin(broadcast(index.corpusStats))
+      .select(
+        col("qid"),
+        col("term_id"),
+        col("doc_id"),
+        (col("qtf") * col("idf") *
+          Bm25Index.tfNorm(col("tf"), col("dl"), col("avgdl"), p)).as("partial"))
+    // one aggregation: matched-term count (conjunctive gate, vs the qn
+    // computed BEFORE the dictionary join — an out-of-vocabulary term
+    // must fail the conjunction) + the canonical-order score sum (same
+    // arithmetic as [[scores]])
     val scored = h
       .groupBy(col("qid"), col("doc_id"))
       .agg(sort_array(collect_list(struct(col("term_id"), col("partial")))).as("ps"))
       .select(col("qid"), col("doc_id"), size(col("ps")).as("mn"),
         expr("aggregate(ps, 0d, (acc, x) -> acc + x.partial)").as("score"))
     val conj = scored.join(broadcast(nPerQ), "qid").filter(col("mn") === col("qn"))
-    // one adjacency pattern per qid (a qid carrying two DIFFERENT texts
-    // has no well-defined single phrase; duplicates of the same text
-    // collapse to the identical row)
-    val ptoks = queries.select(col("qid"), Tokenizer.tokenizeQuery(col("text")).as("pt"))
-      .dropDuplicates("qid")
+    // ptoks: one adjacency pattern per qid (a qid carrying two DIFFERENT
+    // texts has no well-defined single phrase)
     val verified = conj
       .join(docsText.select(col("doc_id"),
         Tokenizer.tokenizeDoc(col("text")).as("toks")), "doc_id")
