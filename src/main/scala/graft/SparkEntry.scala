@@ -1619,10 +1619,12 @@ object SparkEntry {
        |         max(CASE WHEN is_rel = 1 AND rank <= 5 THEN 1 ELSE 0 END) AS success5
        |  FROM hits10 GROUP BY 1
        |), pq_final AS (
-       |  SELECT pq.qid, rr10,
-       |         round(rel_in_10::DOUBLE / n_rel, 6) AS recall10,
-       |         success5::INT AS success5, n_rel
-       |  FROM pq JOIN nrel USING (qid)
+       |  -- qrels is the base: a JUDGED qid the ranking answered with
+       |  -- zero rows still scores (all-zero), mirroring perQueryMetrics
+       |  SELECT nrel.qid, coalesce(rr10, 0.0) AS rr10,
+       |         round(coalesce(rel_in_10, 0)::DOUBLE / n_rel, 6) AS recall10,
+       |         coalesce(success5, 0)::INT AS success5, n_rel
+       |  FROM nrel LEFT JOIN pq USING (qid)
        |)""".stripMargin
 
   private val EvalMetricsSql: String =

@@ -30,17 +30,30 @@ object HtmlExtract {
     var i = 0
     val n = s.length
     var pendingSpace = false
+    // case-INsensitive close-tag scan (open tags match case-insensitively
+    // too — an uppercase </SCRIPT> must still close its subtree, or the
+    // whole rest of the document is swallowed)
     def skipUntil(close: String): Int = {
-      val idx = s.indexOf(close, i)
-      if (idx < 0) n else idx + close.length
+      var j = i
+      val last = n - close.length
+      while (j <= last && !s.regionMatches(true, j, close, 0, close.length)) j += 1
+      if (j > last) n else j + close.length
     }
+    // a tag NAME must end at the match (boundary char) — '<styleguide>'
+    // is not '<style>' and must not swallow text hunting for '</style>'
+    def tagAt(name: String): Boolean =
+      s.regionMatches(true, i + 1, name, 0, name.length) && {
+        val after = i + 1 + name.length
+        after >= n || s.charAt(after) == '>' || s.charAt(after) == ' ' ||
+          s.charAt(after) == '\t' || s.charAt(after) == '\n' ||
+          s.charAt(after) == '\r' || s.charAt(after) == '/'
+      }
     while (i < n) {
       val c = s.charAt(i)
       if (c == '<') {
-        val script = s.regionMatches(true, i + 1, "script", 0, 6)
-        val style = s.regionMatches(true, i + 1, "style", 0, 5)
-        val head = s.regionMatches(true, i + 1, "head", 0, 4) &&
-          (i + 5 >= n || s.charAt(i + 5) == '>' || s.charAt(i + 5) == ' ')
+        val script = tagAt("script")
+        val style = tagAt("style")
+        val head = tagAt("head")
         if (script) { i = skipUntil("</script>") }
         else if (style) { i = skipUntil("</style>") }
         else if (head) { i = skipUntil("</head>") }

@@ -36,25 +36,30 @@ object Metrics {
   /** Per-query metrics over a (qid, doc_id, rank) ranking and a
     * (qid, doc_id) qrels table: reciprocal rank @10, recall @10,
     * success @5. Only qids present in qrels are emitted (reference skips
-    * unjudged queries, msmarco_passages.py:77-83). */
+    * unjudged queries, msmarco_passages.py:77-83) — but every JUDGED qid
+    * emits a row even when the ranking answered it with zero rows
+    * (all-zero metrics): qrels is the join base, so an engine regression
+    * that stops answering judged queries drags the summary DOWN instead
+    * of silently shrinking the denominator. */
   def perQueryMetrics(ranking: DataFrame, qrels: DataFrame): DataFrame = {
     val relTotals = qrels.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
     val hits = ranking
       .join(qrels.withColumn("rel", lit(1)), Seq("qid", "doc_id"), "left")
       .select(col("qid"), col("rank"), coalesce(col("rel"), lit(0)).as("rel"))
-    hits.groupBy(col("qid"))
+    val perQ = hits.groupBy(col("qid"))
       .agg(
         coalesce(max(when(col("rel") === 1 && col("rank") <= 10,
           lit(1.0) / col("rank"))), lit(0.0)).as("rr10"),
         sum(when(col("rel") === 1 && col("rank") <= 10, 1).otherwise(0)).as("rel_in_10"),
         coalesce(max(when(col("rel") === 1 && col("rank") <= 5, 1).otherwise(0)), lit(0))
           .as("success5"))
-      .join(relTotals, "qid")
+    relTotals.join(perQ, Seq("qid"), "left")
       .select(
         col("qid"),
-        round(col("rr10"), 6).as("rr10"),
-        round(col("rel_in_10").cast("double") / col("n_rel"), 6).as("recall10"),
-        col("success5").cast("int").as("success5"),
+        round(coalesce(col("rr10"), lit(0.0)), 6).as("rr10"),
+        round(coalesce(col("rel_in_10"), lit(0L)).cast("double") / col("n_rel"), 6)
+          .as("recall10"),
+        coalesce(col("success5"), lit(0)).cast("int").as("success5"),
         col("n_rel"))
   }
 

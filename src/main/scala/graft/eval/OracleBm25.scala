@@ -8,11 +8,25 @@ import graft.index.Bm25Params
   * analog of the reference's e2e Success@5 gate made exact,
   * colbert/tests/e2e_test.py:41-80).
   *
-  * Scores are summed in canonical (term-lexicographic) order, matching the
-  * engine's deterministic sort_array+aggregate sum, so equality holds
-  * BIT-FOR-BIT, not within epsilon.
+  * Scores are summed in the ENGINE'S canonical order — ascending 64-bit
+  * term id (the engine sorts struct(term_id, partial) before its fold,
+  * Bm25Search.scores) — so equality holds BIT-FOR-BIT, not within
+  * epsilon. Term-STRING order would differ from hash order on ≥3-term
+  * docs and could drift by an ulp.
   */
 object OracleBm25 {
+
+  /** The engine's 64-bit term id (xxhash64, Bm25Index.termId) computed
+    * driver-side: Spark's XxHash64 starts at seed 42 and chains the salt
+    * int before the string bytes when termIdSeed != 0. */
+  private def termIdOf(term: String, seed: Int): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(term)
+    val s0 =
+      if (seed == 0) 42L
+      else org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(seed, 42L)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, s0)
+  }
 
   /** (qid → ranked (docId, rank, score)), ties broken by docId asc. */
   def topK(docs: Seq[(Long, String)], queries: Seq[(Long, String)], k: Int,
@@ -52,7 +66,8 @@ object OracleBm25 {
         }
       }
       perDoc.foreach { case (id, ps) =>
-        scores(id) = ps.sortBy(_._1).foldLeft(0.0) { case (acc, (_, s)) => acc + s }
+        scores(id) = ps.sortBy { case (t, _) => termIdOf(t, p.termIdSeed) }
+          .foldLeft(0.0) { case (acc, (_, s)) => acc + s }
       }
       val ranked = scores.toSeq
         .sortBy { case (id, s) => (-s, id) }

@@ -117,7 +117,11 @@ object IndexBuilder {
     * shuffle), doc_id = per-partition offset (tiny driver-side cumsum over
     * partition counts) + intra-partition position. The sorted Dataset is
     * persisted so the counts job and the assignment job see identical
-    * (nondeterministically sampled) range boundaries — MEMORY_AND_DISK_SER
+    * (nondeterministically sampled) range boundaries — and a partition
+    * lost AFTER the counts job recomputes through the SAME physical plan
+    * instance, whose RangePartitioner (boundaries sampled once at plan
+    * execution) and within-partition sort are frozen, so recovered rows
+    * land in identical (pid, local) slots — MEMORY_AND_DISK_SER
     * by default: it spills to local disk exactly when the corpus slice
     * doesn't fit the executors' storage memory, and when it does fit it
     * skips the disk round-trip entirely (the local disk is the one

@@ -24,8 +24,12 @@ import org.apache.spark.sql.functions._
 object Web {
 
   /** Query parameters that never change page identity (analytics
-    * trackers) — dropped during canonicalization. */
-  val TrackingParamsRe = "(?:utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&#]*"
+    * trackers) — dropped during canonicalization. Anchored to a
+    * preceding `?`/`&` (lookbehind keeps the separator out of the match,
+    * so replacement semantics are unchanged): without the anchor a
+    * non-tracking param whose NAME merely ends in a tracker name
+    * (`?xgclid=1`) had its tail eaten, merging genuinely distinct urls. */
+  val TrackingParamsRe = "(?<=[?&])(?:utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&#]*"
 
   private def stripFragment(u: Column): Column = regexp_replace(u, "#.*", "")
 

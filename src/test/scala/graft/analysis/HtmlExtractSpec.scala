@@ -27,6 +27,17 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(x("5 & 6") == "5 & 6") // bare ampersand
   }
 
+  test("uppercase close tags and prefix-named tags do not swallow the document") {
+    // close-tag scan is case-insensitive (legacy pages use </SCRIPT>)
+    assert(x("<SCRIPT>x</SCRIPT><p>body</p>") == "body")
+    assert(x("<Style>p{}</STYLE>hello") == "hello")
+    assert(x("<HEAD><title>T</title></Head>x") == "x")
+    // a tag NAME must end at the match: <styleguide> is not <style>
+    assert(x("<styleguide>a</styleguide> real") == "a real")
+    assert(x("<scripted>b</scripted> text") == "b text")
+    assert(x("<header>h</header>x") == "h x")
+  }
+
   test("unterminated structures do not loop or throw") {
     assert(x("<p>a<script>never closed") == "a")
     assert(x("<p unclosed") == "")

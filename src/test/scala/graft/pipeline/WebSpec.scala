@@ -43,6 +43,15 @@ class WebSpec extends AnyFunSuite {
       "https://h.co/p"))
   }
 
+  test("canonicalization: a param NAME merely ending in a tracker name is kept") {
+    // the tracker regex is anchored to ?/& — '?xgclid=1' is a real param
+    assert(canon(
+      "https://h.co/p?xgclid=1",
+      "https://h.co/p?my_fbclid=2&id=3") == Seq(
+      "https://h.co/p?xgclid=1",
+      "https://h.co/p?my_fbclid=2&id=3"))
+  }
+
   test("canonicalization: trailing slashes, with and without query") {
     assert(canon(
       "https://h.co/p/",
