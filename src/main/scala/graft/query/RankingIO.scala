@@ -23,9 +23,21 @@ object RankingIO {
       .sort(col("qid"), col("rank"))
       .coalesce(1)
       .write.mode("overwrite").option("sep", "\t").csv(outDir)
+    // minimal JSON string escaping — provenance values are caller text
+    // (paths, run names) and a stray quote/backslash must not corrupt
+    // the sidecar
+    def esc(x: String): String =
+      x.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c => c.toString
+      }
     val metaJson = (meta + ("format" -> "qid\tdoc_id\trank\tscore"))
       .toSeq.sorted
-      .map { case (k, v) => s""""$k": "$v"""" }
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
       .mkString("{", ", ", "}")
     Files.writeString(Paths.get(outDir).resolve("_ranking.meta"), metaJson)
   }
