@@ -147,7 +147,8 @@ Query = one rare strong term (picked by measured df:
 `${w.rareTerm}`, df=${w.rareDf}) + three corpus-saturating
 stopwords (df≈N → idf≈0 → provably weak → their posting lists
 are decoded only inside the rare term's candidate blocks).
-Wall = min of 3 warm runs in a dedicated local[$cpus] JVM; decode
+Wall = min of 5 interleaved warm full/wand pairs in a dedicated
+local[$cpus] JVM; decode
 volume counted from each path's physical decode input.
 
 | path | wall sec | blocks decoded | postings decoded |

@@ -28,7 +28,7 @@ object WandRegime {
     * take the min wall over `reps` runs, and count the blocks/postings
     * each path physically decodes. */
   def measure(spark: SparkSession, index: Bm25IndexTables,
-              k: Int = 10, reps: Int = 3): Result = {
+              k: Int = 10, reps: Int = 5): Result = {
     import spark.implicits._
     val rare = index.termStats
       .filter(col("df").between(12, 40) && col("term").startsWith("w"))
@@ -37,15 +37,24 @@ object WandRegime {
     val mixed = Seq((0L, s"${rare._1} w0 w1 w2")).toDF("qid", "text").cache()
     mixed.count()
 
-    def tmin(f: => Any): Double =
-      (1 to reps).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }.min
-    // warm both paths once (plan compile + page cache), then time
+    def timed(f: => Any): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // warm both paths once (plan compile + page cache), then time the two
+    // paths INTERLEAVED full,wand,full,wand,... — timing one path's reps
+    // back-to-back let a single VM contention window land entirely on one
+    // arm (measured: a protocol run where all 3 wand reps sat in one
+    // window reported a 4.5× wall 'loss' that two re-runs put at
+    // 1.3–1.5×); interleaving makes any window tax both arms before the
+    // per-arm min is taken
     Bm25Search.searchPersisted(mixed, index, k).count()
     Bm25Search.searchPersistedWand(mixed, index, k).count()
-    val tFull = tmin { Bm25Search.searchPersisted(mixed, index, k).count() }
-    val tWand = tmin { Bm25Search.searchPersistedWand(mixed, index, k).count() }
+    val pairsT = (1 to reps).map { _ =>
+      (timed(Bm25Search.searchPersisted(mixed, index, k).count()),
+        timed(Bm25Search.searchPersistedWand(mixed, index, k).count()))
+    }
+    val tFull = pairsT.map(_._1).min
+    val tWand = pairsT.map(_._2).min
 
     // decode-volume evidence: blocks/postings each path physically decodes
     val qterms = Bm25Search.compileQueriesLocal(mixed, index.termStats)
