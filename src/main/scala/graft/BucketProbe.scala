@@ -66,7 +66,7 @@ object BucketProbe {
       IndexBuilder.build(spark, src, bktDir,
         Bm25Params(termBuckets = buckets), auditExtraction = false)
 
-      val batch = Synthesizer.queries(spark, 10, nPages)
+      val batch = Synthesizer.queries(spark, 10, nPages, vocab = vocab)
       import spark.implicits._
       // the serving shape: ONE query, two terms → at most 2 of `buckets`
       // term-hash dirs survive the partition filter

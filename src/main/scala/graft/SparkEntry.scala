@@ -47,8 +47,11 @@ object SparkEntry {
   /** Session-scoped memo: one value per (session, key), built once and
     * persisted by the builder — the reference keeps its index / centroids
     * / rankings resident for the life of a Searcher
-    * (index_loader.py:25-27). WeakHashMap keys: a closed session's entries
-    * become collectable. */
+    * (index_loader.py:25-27). Keyed per session; note the cached
+    * DataFrames themselves reference their session, so entries live for
+    * the JVM (fine for this library's callers — bench/verify/serving own
+    * one long-lived session each; a session-churning host should clear
+    * its caches explicitly). */
   private final class SessionCache[T] {
     private val m =
       new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, T]]()
@@ -162,6 +165,17 @@ object SparkEntry {
     p
   }
   private val builtIndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** One build at a time per JVM: TrieMap.getOrElseUpdate may evaluate
+    * the thunk twice under a race, and the temp path is deterministic —
+    * two concurrent first-touch builds would interleave writes into the
+    * same index directory. Builds are rare; a coarse lock is fine. */
+  private def builtDir(key: String)(build: => String): String =
+    builtIndexCache.synchronized(builtIndexCache.getOrElseUpdate(key, build))
+  /** Temp-dir component derived from the FULL sf dir string (sanitized),
+    * not its 32-bit hashCode — colliding hashes of two corpus dirs in one
+    * JVM would silently share (and corrupt) an index directory. */
+  private def dirKey(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   private def pagesFromDocuments(s: SparkSession, dir: String,
                                  filter: org.apache.spark.sql.Column): DataFrame =
@@ -194,11 +208,11 @@ object SparkEntry {
     }
 
   private def persistedIndexFor(s: SparkSession, dir: String): Bm25IndexTables = {
-    val idxDir = builtIndexCache.getOrElseUpdate(s"base:$dir", {
-      val d = entryTmpRoot.resolve(s"idx-${math.abs(dir.hashCode)}").toString
+    val idxDir = builtDir(s"base:$dir") {
+      val d = entryTmpRoot.resolve(s"idx-${dirKey(dir)}").toString
       IndexBuilder.build(s, pagesFromDocuments(s, dir, lit(true)), d, auditExtraction = false)
       d
-    })
+    }
     openResident(s, s"base:$dir")(IndexBuilder.open(s, idxDir))
   }
 
@@ -208,12 +222,12 @@ object SparkEntry {
     * before any parquet footer is read. Same ranking as the flat
     * persisted index — the layout changes I/O, never results. */
   private def bucketedIndexFor(s: SparkSession, dir: String): Bm25IndexTables = {
-    val idxDir = builtIndexCache.getOrElseUpdate(s"bkt:$dir", {
-      val d = entryTmpRoot.resolve(s"bktidx-${math.abs(dir.hashCode)}").toString
+    val idxDir = builtDir(s"bkt:$dir") {
+      val d = entryTmpRoot.resolve(s"bktidx-${dirKey(dir)}").toString
       IndexBuilder.build(s, pagesFromDocuments(s, dir, lit(true)), d,
         graft.index.Bm25Params(termBuckets = 16), auditExtraction = false)
       d
-    })
+    }
     openResident(s, s"bkt:$dir")(IndexBuilder.open(s, idxDir))
   }
 
@@ -222,16 +236,16 @@ object SparkEntry {
     * is exactly `documents WHERE doc_id % 10 <> 7` with original ids
     * (segment docIds continue at base max + 1 in url order). */
   private def updatedIndexFor(s: SparkSession, dir: String): Bm25IndexTables = {
-    val idxDir = builtIndexCache.getOrElseUpdate(s"upd:$dir", {
+    val idxDir = builtDir(s"upd:$dir") {
       val docsDf = s.read.parquet(s"$dir/documents.parquet")
       val split = (docsDf.count() * 3) / 5
-      val d = entryTmpRoot.resolve(s"updidx-${math.abs(dir.hashCode)}").toString
+      val d = entryTmpRoot.resolve(s"updidx-${dirKey(dir)}").toString
       IndexBuilder.build(s, pagesFromDocuments(s, dir, col("doc_id") < split), d,
         auditExtraction = false)
       IndexUpdater.add(s, d, pagesFromDocuments(s, dir, col("doc_id") >= split))
       IndexUpdater.remove(s, d, docsDf.filter(col("doc_id") % 10 === 7).select(col("doc_id")))
       d
-    })
+    }
     openResident(s, s"upd:$dir")(IndexUpdater.openMerged(s, idxDir))
   }
 
@@ -243,11 +257,11 @@ object SparkEntry {
     * the flagship oracle applies unchanged — upgrading St3 (streaming
     * ingest) from test-gated to oracle-gated. */
   private def streamedIndexFor(s: SparkSession, dir: String): Bm25IndexTables = {
-    val idxDir = builtIndexCache.getOrElseUpdate(s"strm:$dir", {
+    val idxDir = builtDir(s"strm:$dir") {
       val n = s.read.parquet(s"$dir/documents.parquet").count()
       val half = n / 2
       val quarter = half + (n - half) / 2
-      val d = entryTmpRoot.resolve(s"strmidx-${math.abs(dir.hashCode)}").toString
+      val d = entryTmpRoot.resolve(s"strmidx-${dirKey(dir)}").toString
       IndexBuilder.build(s, pagesFromDocuments(s, dir, col("doc_id") < half), d,
         auditExtraction = false)
       graft.streaming.StreamingIngest.ingestBatch(s, d,
@@ -255,7 +269,7 @@ object SparkEntry {
       graft.streaming.StreamingIngest.ingestBatch(s, d,
         pagesFromDocuments(s, dir, col("doc_id") >= quarter), 1L)
       d
-    })
+    }
     openResident(s, s"strm:$dir")(IndexUpdater.openMerged(s, idxDir))
   }
 
@@ -266,13 +280,13 @@ object SparkEntry {
     * the compacted docId of a live doc is exactly its dense rank among
     * live docs — addressable by the DuckDB oracle. */
   private def compactedIndexFor(s: SparkSession, dir: String): Bm25IndexTables = {
-    val idxDir = builtIndexCache.getOrElseUpdate(s"cmp:$dir", {
+    val idxDir = builtDir(s"cmp:$dir") {
       updatedIndexFor(s, dir)
       val srcDir = builtIndexCache(s"upd:$dir")
-      val d = entryTmpRoot.resolve(s"cmpidx-${math.abs(dir.hashCode)}").toString
+      val d = entryTmpRoot.resolve(s"cmpidx-${dirKey(dir)}").toString
       IndexUpdater.compact(s, srcDir, d)
       d
-    })
+    }
     openResident(s, s"cmp:$dir")(IndexBuilder.open(s, idxDir))
   }
 
@@ -718,9 +732,13 @@ object SparkEntry {
   private def toksQuery(textExpr: String) =
     s"""list_slice(list_filter(regexp_split_to_array(lower($textExpr), '[^\\p{L}\\p{Nd}]+'), x -> x <> ''), 1, 32)"""
 
-  /** VALUES list mirroring [[FlagshipQueries]]. */
+  /** VALUES list mirroring [[FlagshipQueries]] (single quotes doubled —
+    * an apostrophe in a future query text must not break every oracle
+    * built on the shared CTE). */
   private val QueryValues: String =
-    FlagshipQueries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    FlagshipQueries.map { case (q, t) =>
+      s"($q, '${t.replace("'", "''")}')"
+    }.mkString(", ")
 
   /** Shared CTE prefix: tokenize + postings + stats + compiled queries.
     * `docsSel` is the corpus source query (restricted / renumbered for
@@ -1585,7 +1603,9 @@ object SparkEntry {
       |    FROM samp e, seeds s) WHERE rn = 1
       |), cent AS (
       |  SELECT bucket AS c_id, list(m ORDER BY d) AS centroid FROM (
-      |    SELECT bucket, d, avg(emb[d]) AS m FROM a1, range(1, 65) t(d) GROUP BY 1, 2
+      |    SELECT bucket, d, avg(v) AS m FROM (
+      |      SELECT bucket, generate_subscripts(emb, 1) AS d, unnest(emb) AS v FROM a1
+      |    ) GROUP BY 1, 2
       |  ) GROUP BY bucket
       |), assign AS (
       |  SELECT vec_id, emb, c_id AS bucket FROM (

@@ -50,7 +50,13 @@ object Synthesizer {
     * sparser than one posting per doc-range block, the regime block-max
     * pruning exists for) pass a web-scale vocabulary instead. */
   def text(docId: Long, seed: Long, vocab: Int = VocabSize): String = {
-    val len = 20 + ((mix(seed, docId * 31 + 1) >>> 11) % 201).toInt
+    val len0 = 20 + ((mix(seed, docId * 31 + 1) >>> 11) % 201).toInt
+    // a plant-carrying doc caps its zipf tokens at 219 so the appended
+    // plant term is at most token 220 — the tokenizer's DocMaxTerms cap
+    // would otherwise silently drop a plant on the ~1/201 of planted
+    // docs drawing the max length, breaking the unique-known-answer
+    // invariant the eval gate relies on
+    val len = if (docId % 7 == 0) math.min(len0, 219) else len0
     val sb = new StringBuilder(len * 6)
     var j = 0
     while (j < len) {
@@ -97,7 +103,8 @@ object Synthesizer {
   /** MS-MARCO-style dev queries (FIXTURES.md §2): planted-term queries with
     * unique known hits, mid-frequency conjunctions, a stopword-only query
     * and a zero-hit query. */
-  def queries(spark: SparkSession, nQueries: Int, nDocs: Long, seed: Long = 42L): DataFrame = {
+  def queries(spark: SparkSession, nQueries: Int, nDocs: Long, seed: Long = 42L,
+              vocab: Int = VocabSize): DataFrame = {
     import spark.implicits._
     val rows = (0 until nQueries).map { q =>
       val h = mix(seed * 7 + 1, q)
@@ -105,14 +112,14 @@ object Synthesizer {
       val txt = kind match {
         case 0 => // planted rare term → unique known answer
           val doc = (math.abs(h) % math.max(1, nDocs / 7)) * 7
-          s"plant${doc / 7} ${term(zipfIdx(mix(seed, doc * 100003L)))}"
+          s"plant${doc / 7} ${term(zipfIdx(mix(seed, doc * 100003L), vocab))}"
         case 1 => // mid-frequency conjunction
           s"${term(100 + (math.abs(h) % 400).toInt)} ${term(500 + (math.abs(h >> 8) % 1000).toInt)}"
         case 2 => // high-df stopword-ish pair
           s"${term((math.abs(h) % 10).toInt)} ${term((math.abs(h >> 4) % 30).toInt)}"
         case _ if q % 16 == 3 => "qqqzero qqqhit" // zero-hit
         case _ =>
-          s"${term(zipfIdx(h))} ${term(zipfIdx(h >> 7))} ${term(zipfIdx(h >> 13))}"
+          s"${term(zipfIdx(h, vocab))} ${term(zipfIdx(h >> 7, vocab))} ${term(zipfIdx(h >> 13, vocab))}"
       }
       (q.toLong, txt)
     }
