@@ -144,6 +144,19 @@ object Main {
         val server = SearchHttpServer.start(session,
           port = opts.getOrElse("port", "8893").toInt)
         println(s"[graft] serving http://127.0.0.1:${server.port}/api/search?query=...&k=10")
+        // periodic latency line (reference searcher.py:101-114 prints its
+        // running mean/std); only when queries actually computed
+        val reporter = new Thread(() => {
+          while (true) {
+            Thread.sleep(60000)
+            val t = session.timing
+            if (t.count > 0)
+              println(f"[graft] served ${t.count} computed queries: " +
+                f"mean ${t.meanSec * 1000}%.1f ms, std ${t.stdSec * 1000}%.1f ms")
+          }
+        })
+        reporter.setDaemon(true)
+        reporter.start()
         try Thread.currentThread().join() // serve until the JVM is killed
         finally { server.stop(); session.close() }
 

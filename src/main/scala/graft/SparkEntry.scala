@@ -134,6 +134,13 @@ object SparkEntry {
     }
   private val TrainNway = 4
 
+  /** df cutoff for the bm25_topk_dfpruned demo: chosen to prune SOME of
+    * the flagship query terms at every test SF (the synthetic corpus puts
+    * the common words' df/N in ~[0.74, 0.81]) — both sides of the gate
+    * compute `df <= n_docs * fraction` in double, so the comparison is
+    * engine-independent even at a knife-edge. */
+  private val DfPruneFraction = 0.78
+
   /** In-batch-negative score matrix shared by train_ib_scores (which
     * emits it) and train_losses (whose ib_ce term consumes it) — the
     * reference scores each batch once and feeds the same tensor to both
@@ -142,6 +149,26 @@ object SparkEntry {
   private def ibScoresFor(s: SparkSession, dir: String): DataFrame =
     ibScoresCache.getOrElseUpdate(s, dir) {
       Training.inBatchScores(flagshipQueriesDf(s), triplesFor(s, dir), indexFor(s, dir))
+        .persist()
+    }
+
+  /** The nway (teacher, student) frame consumed by train_losses — the
+    * flipr student pipeline runs ONCE per (session, dir), like the
+    * reference scoring each batch once and feeding the same tensor to
+    * every loss reduction (training.py:159-196); a previous round rebuilt
+    * the whole fliprScoresFor chain inside the train_losses entry. */
+  private val nwayCache = new SessionCache[DataFrame]
+  private def nwayScoresFor(s: SparkSession, dir: String): DataFrame =
+    nwayCache.getOrElseUpdate(s, dir) {
+      val trip = triplesFor(s, dir)
+      val student = Training.fliprScoresFor(
+        flagshipQueriesDf(s), trip.select(col("doc_id")).distinct(), indexFor(s, dir))
+      // both sides are batch-bounded; the student side is an aggregate
+      // output with no size stats, so hint the broadcast explicitly
+      trip
+        .join(broadcast(student), Seq("qid", "doc_id"))
+        .select(col("qid"), col("way"),
+          col("score").as("teacher"), col("student_score").as("student"))
         .persist()
     }
 
@@ -171,11 +198,18 @@ object SparkEntry {
     * same index directory. Builds are rare; a coarse lock is fine. */
   private def builtDir(key: String)(build: => String): String =
     builtIndexCache.synchronized(builtIndexCache.getOrElseUpdate(key, build))
-  /** Temp-dir component derived from the FULL sf dir string (sanitized),
-    * not its 32-bit hashCode — colliding hashes of two corpus dirs in one
-    * JVM would silently share (and corrupt) an index directory. */
+  /** Temp-dir component derived from the FULL sf dir string: the
+    * sanitized readable form PLUS a length+hashCode discriminator of the
+    * ORIGINAL string. Sanitization alone collides deterministically
+    * ("/data/sf 1" vs "/data/sf_1" both sanitize to "_data_sf_1"), and a
+    * collision means the second dir resumes the first's index directory
+    * via manifest stage-skipping — silently serving the wrong corpus. The
+    * discriminator means a collision needs equal length AND equal 32-bit
+    * hash AND equal sanitized form — no longer reachable by mere
+    * punctuation variants of one path. */
   private def dirKey(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-${dir.length}-" +
+      Integer.toHexString(dir.hashCode)
 
   private def pagesFromDocuments(s: SparkSession, dir: String,
                                  filter: org.apache.spark.sql.Column): DataFrame =
@@ -324,6 +358,9 @@ object SparkEntry {
       // training.py:159-196) — the matrix is the shared fixture, the two
       // train_* queries are its consumers
       timed("train_ib_matrix") { ibScoresFor(s, dir).count(); () },
+      // the student flipr scores + teacher join feed train_losses alone,
+      // but they are the same once-per-batch scoring pass as the matrix
+      timed("train_nway_scores") { nwayScoresFor(s, dir).count(); () },
       // pair generation feeds BOTH dedup_jaccard (the report) and
       // dedup_clusters (the resolution) — without this the sweep charges
       // the whole build to whichever runs first alphabetically
@@ -399,6 +436,18 @@ object SparkEntry {
     "bm25_topk_wand" -> ((s, dir) => {
       val index = indexFor(s, dir)
       Bm25Search.searchWand(flagshipQueriesDf(s), index, 10)
+        .select(col("qid"), col("doc_id"), col("rank"),
+          round(col("score"), 4).as("score"))
+    }),
+
+    // stopword-grade df-threshold pruning as an index VIEW (SURVEY §2.5
+    // A12 analog — the reference's hierarchical pooling compresses the
+    // doc side as a quality/throughput knob, checkpoint.py:11-64; here
+    // terms with df > 0.78·N vanish from query compilation, capping the
+    // posting volume any query can touch at web scale)
+    "bm25_topk_dfpruned" -> ((s, dir) => {
+      val index = Bm25Search.dfPruned(indexFor(s, dir), DfPruneFraction)
+      Bm25Search.searchFull(flagshipQueriesDf(s), index, 10)
         .select(col("qid"), col("doc_id"), col("rank"),
           round(col("score"), 4).as("score"))
     }),
@@ -633,17 +682,7 @@ object SparkEntry {
     // + in-batch CE (training.py:159-196; teacher = full-BM25 ranking
     // scores, student = flipr top-2-term scores)
     "train_losses" -> ((s, dir) => {
-      val trip = triplesFor(s, dir)
-      val student = Training.fliprScoresFor(
-        flagshipQueriesDf(s), trip.select(col("doc_id")).distinct(), indexFor(s, dir))
-      // both sides are batch-bounded; the student side is an aggregate
-      // output with no size stats, so hint the broadcast explicitly
-      val nway = trip
-        .join(broadcast(student), Seq("qid", "doc_id"))
-        .select(col("qid"), col("way"),
-          col("score").as("teacher"), col("student_score").as("student"))
-      val ib = ibScoresFor(s, dir)
-      Training.losses(nway, ib)
+      Training.losses(nwayScoresFor(s, dir), ibScoresFor(s, dir))
         .select(col("qid"),
           round(col("ce_nway"), 4).as("ce_nway"),
           round(col("kl_distill"), 4).as("kl_distill"),
@@ -954,6 +993,32 @@ object SparkEntry {
 
     "bm25_topk_wand" -> Bm25TopkSql,
     "bm25_topk_window" -> Bm25TopkSql,
+
+    // same corpus/stats/idf as the full search, but hits restricted to
+    // terms with df <= 0.78·n_docs (the engine prunes termStats, so
+    // compilation silently skips stopword-grade terms; idf of survivors
+    // is unchanged — it was computed before the prune)
+    "bm25_topk_dfpruned" ->
+      s"""$Bm25Cte, phits AS (
+         |  SELECT qt.qid, tf.doc_id,
+         |         qt.qtf * i.idf * (tf.tf * (0.9 + 1.0) /
+         |           (tf.tf + 0.9 * (1.0 - 0.4 + 0.4 * dl.dl / s.avgdl))) AS partial
+         |  FROM qterms qt
+         |  JOIN idf i USING (term)
+         |  JOIN tf ON tf.term = qt.term
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  CROSS JOIN stats s
+         |  WHERE i.df <= s.n_docs * $DfPruneFraction
+         |), pscores AS (
+         |  SELECT qid, doc_id, sum(partial) AS score FROM phits GROUP BY 1, 2
+         |), pranked AS (
+         |  SELECT qid, doc_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC)::INT AS rank,
+         |         score
+         |  FROM pscores
+         |)
+         |SELECT qid, doc_id, rank, round(score, 4) AS score
+         |FROM pranked WHERE rank <= 10""".stripMargin,
     // flipr analog: rank by the sum of each doc's top-2 partials. Equal
     // partials at the cut sum identically whichever is picked, so the
     // partial-desc row_number needs no further tiebreak.
@@ -1554,15 +1619,22 @@ object SparkEntry {
          |         first(ss ORDER BY way) AS s_pos
          |  FROM nws GROUP BY 1
          |), nz AS (
+         |  -- every exp/ln output rounded to the same 8-decimal grid the
+         |  -- engine uses (Training.losses): libm ulp differences must not
+         |  -- reach the final round(…, 4)
          |  SELECT qid, m_s, m_t, s_pos, sss, tss,
-         |    list_reduce([exp(x - m_s) for x in sss], (a, b) -> a + b) AS zs,
-         |    list_reduce([exp(x - m_t) for x in tss], (a, b) -> a + b) AS zt
+         |    list_reduce([round(exp(x - m_s), 8) for x in sss], (a, b) -> a + b) AS zs,
+         |    list_reduce([round(exp(x - m_t), 8) for x in tss], (a, b) -> a + b) AS zt
          |  FROM nagg
-         |), nloss AS (
-         |  SELECT qid, -(s_pos - m_s - ln(zs)) AS ce_nway,
-         |    list_reduce([exp(p[2] - m_t) / zt * ((p[2] - m_t - ln(zt)) - (p[1] - m_s - ln(zs)))
-         |                 for p in list_zip(sss, tss)], (a, b) -> a + b) AS kl_distill
+         |), nlz AS (
+         |  SELECT qid, m_s, m_t, s_pos, sss, tss, zs, zt,
+         |         round(ln(zs), 8) AS lzs, round(ln(zt), 8) AS lzt
          |  FROM nz
+         |), nloss AS (
+         |  SELECT qid, -(s_pos - m_s - lzs) AS ce_nway,
+         |    list_reduce([round(exp(p[2] - m_t), 8) / zt * ((p[2] - m_t - lzt) - (p[1] - m_s - lzs))
+         |                 for p in list_zip(sss, tss)], (a, b) -> a + b) AS kl_distill
+         |  FROM nlz
          |), $IbRowsCte, iagg AS (
          |  SELECT qid, max(round(score, 4)) AS m,
          |         list(round(score, 4) ORDER BY doc_id) AS xs,
@@ -1570,7 +1642,7 @@ object SparkEntry {
          |  FROM ibr GROUP BY 1
          |), iloss AS (
          |  SELECT qid,
-         |         -(s_pos - m - ln(list_reduce([exp(x - m) for x in xs], (a, b) -> a + b))) AS ib_ce
+         |         -(s_pos - m - round(ln(list_reduce([round(exp(x - m), 8) for x in xs], (a, b) -> a + b)), 8)) AS ib_ce
          |  FROM iagg
          |)
          |SELECT n.qid, round(n.ce_nway, 4) AS ce_nway,

@@ -63,6 +63,16 @@ object Metrics {
         col("n_rel"))
   }
 
+  /** Best checkpoint by a metric (SURVEY §2 O7; reference
+    * utility/rankings/tune.py:10-47 argmaxes a chosen metric over
+    * per-checkpoint eval JSONs and emits the winning checkpoint path).
+    * `evals`: one row per checkpoint carrying `idCol` and `metricCol`.
+    * Ties break on the checkpoint identifier ascending, so selection is
+    * deterministic across runs and engines. */
+  def bestCheckpoint(evals: DataFrame, metricCol: String,
+                     idCol: String = "checkpoint"): DataFrame =
+    evals.orderBy(col(metricCol).desc, col(idCol).asc).limit(1)
+
   /** Corpus-level rollup: MRR@10, mean recall@10, success@5 rate. */
   def summary(perQuery: DataFrame): DataFrame =
     perQuery.agg(

@@ -59,10 +59,26 @@ object IndexUpdater {
     segmentDirs(indexDir).filter(d =>
       IndexBuilder.Stages.forall(s => TableManifest.exists(IndexBuilder.stageDir(d, s))))
 
-  private def maxDocId(spark: SparkSession, indexDir: String): Long = {
-    val dirs = IndexBuilder.stageDir(indexDir, "docs") +: committedSegmentDirs(indexDir).map(d => s"$d/docs")
+  /** Max assigned doc_id across base + every segment whose DOCS stage
+    * committed — including partially-built segments. Id allocation must
+    * see those: a crashed add()/ingest can leave a segment whose docs
+    * stage (and its id range) IS committed, and a streaming replay later
+    * completes that segment in place (manifest resume skips the committed
+    * docs stage, keeping the original ids). Allocating over fully
+    * committed segments only would hand out the same range twice — two
+    * committed segments sharing doc_ids corrupts merged reads,
+    * tombstoning and compaction. Readers keep the stricter
+    * [[committedSegmentDirs]] filter; `excludeDir` lets an idempotent
+    * replay ignore its own prior partial build. */
+  private[graft] def maxDocId(spark: SparkSession, indexDir: String,
+                              excludeDir: Option[String] = None): Long = {
+    val dirs = (indexDir +: segmentDirs(indexDir))
+      .filterNot(d => excludeDir.contains(d))
+      .map(d => IndexBuilder.stageDir(d, "docs"))
+      .filter(d => TableManifest.exists(d))
+    if (dirs.isEmpty) -1L
     // coalesce: an empty docs table (all rows lang-filtered) yields NULL max
-    dirs.map(d => spark.read.parquet(d)
+    else dirs.map(d => spark.read.parquet(d)
       .agg(coalesce(max(col("doc_id")), lit(-1L))).head.getLong(0)).max
   }
 

@@ -502,11 +502,20 @@ object Bm25Search {
       .select(col("qid"), col("doc_id"), size(col("ps")).as("mn"),
         expr("aggregate(ps, 0d, (acc, x) -> acc + x.partial)").as("score"))
     val conj = scored.join(broadcast(nPerQ), "qid").filter(col("mn") === col("qn"))
+    // tokenize SURVIVORS only: semi-join docsText down to the candidate
+    // doc_ids BEFORE the tokenizeDoc projection. Catalyst never defers a
+    // projection past a join, so tokenizing inside the join's corpus-side
+    // input would physically re-tokenize EVERY doc per phrase batch — a
+    // full-corpus tokenize at 100 TB. The candidate set is
+    // conjunction-bounded (≤ Σ_q df(rarest term)), hence broadcastable.
+    val candDocs = conj.select(col("doc_id")).distinct()
+    val candText = docsText
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), Tokenizer.tokenizeDoc(col("text")).as("toks"))
     // ptoks: one adjacency pattern per qid (a qid carrying two DIFFERENT
     // texts has no well-defined single phrase)
-    val verified = conj
-      .join(docsText.select(col("doc_id"),
-        Tokenizer.tokenizeDoc(col("text")).as("toks")), "doc_id")
+    val verified = candText
+      .join(broadcast(conj), "doc_id")
       .join(broadcast(ptoks), "qid")
       // guard the sequence() bounds: Spark's sequence(1, n) DESCENDS for
       // n < 1, so the short-doc case must short-circuit first

@@ -75,6 +75,30 @@ object RankingIO {
     ranking.join(mapping, "doc_id")
       .select(col("qid"), col("new_doc_id").as("doc_id"), col("rank"), col("score"))
 
+  /** Split one ranking by disjoint query sets (reference
+    * utility/rankings/split_by_queries.py:12-52: one output file per
+    * queries file, every ranking line routed by its qid). Returns one
+    * ranking per input set, in order. The reference's two asserts are
+    * kept: a qid claimed by TWO sets is an error, and a ranking qid
+    * covered by NO set is an error (its qid_to_file_idx lookup would
+    * KeyError). Query sets are query-scale (not corpus-scale), so the
+    * routing table broadcasts; each returned frame shares the single
+    * routed join. */
+  def splitByQueries(ranking: DataFrame, querySets: Seq[DataFrame]): Seq[DataFrame] = {
+    require(querySets.nonEmpty, "at least one query set required")
+    val tagged = querySets.zipWithIndex
+      .map { case (q, i) =>
+        q.select(col("qid")).distinct().withColumn("set_idx", lit(i))
+      }
+      .reduce(_ unionByName _)
+    val dups = tagged.groupBy(col("qid")).count().filter(col("count") > 1).count()
+    require(dups == 0, s"$dups qids appear in more than one query set")
+    val routed = ranking.join(broadcast(tagged), Seq("qid"), "left")
+    val uncovered = routed.filter(col("set_idx").isNull).count()
+    require(uncovered == 0, s"$uncovered ranking rows carry qids in no query set")
+    querySets.indices.map(i => routed.filter(col("set_idx") === i).drop("set_idx"))
+  }
+
   /** Qrels 4-col TSV `qid 0 doc_id rel`, deduplicated (loaders.py:48-49). */
   def readQrelsTsv(spark: SparkSession, path: String): DataFrame =
     spark.read

@@ -9,6 +9,12 @@ import graft.index.{Bm25Params, IndexUpdater}
   * `{text, pid, rank, score, prob}` (server.py:30-33). */
 final case class ServeHit(docId: Long, rank: Int, score: Double, prob: Double, text: String)
 
+/** Running latency statistics over served queries — the reference
+  * Searcher accumulates per-query `perf_counter` deltas and exposes
+  * their mean/std on the instance (colbert/searcher.py:101-114).
+  * `stdSec` is the sample standard deviation (0 below two samples). */
+final case class QueryTiming(count: Long, meanSec: Double, stdSec: Double)
+
 /** Warm serving session over a persisted index — the reference keeps its
   * index resident for the life of a Searcher and serves an HTTP loop over
   * it (colbert/search/index_loader.py:25-27, server.py:19-44); the Spark
@@ -99,6 +105,7 @@ final class SearchSession private (spark: SparkSession, val index: Bm25IndexTabl
     val kk = math.min(math.max(k, 1), MaxServeK)
     cached((query, kk)) {
       import spark.implicits._
+      val t0 = System.nanoTime()
       val hits = searchOne(query, kk)
         .join(docsText, "doc_id")
         .select(col("doc_id"), col("rank"), col("score"), col("text"))
@@ -110,10 +117,37 @@ final class SearchSession private (spark: SparkSession, val index: Bm25IndexTabl
       val maxScore = if (hits.isEmpty) 0.0 else hits.map(_._3).max
       val weights = hits.map { case (_, _, s, _) => math.exp(s - maxScore) }
       val z = weights.sum
-      hits.zip(weights).map { case ((d, r, s, t), w) =>
+      val out = hits.zip(weights).map { case ((d, r, s, t), w) =>
         ServeHit(d, r, s, if (z > 0) w / z else 0.0, t)
       }.toSeq
+      recordLatency((System.nanoTime() - t0) / 1e9)
+      out
     }
+  }
+
+  // -- per-query latency instrumentation (searcher.py:101-114) ----------
+  // Welford accumulation over cache-MISS serves only — the reference's
+  // lru_cache sits above the Searcher, so a cached response never reaches
+  // its timing either. Lock-protected: serve() is called from the HTTP
+  // pool's threads.
+  private object timingLock
+  private var tCount = 0L
+  private var tMean = 0.0
+  private var tM2 = 0.0
+  private def recordLatency(sec: Double): Unit = timingLock.synchronized {
+    tCount += 1
+    val d = sec - tMean
+    tMean += d / tCount
+    tM2 += d * (sec - tMean)
+  }
+  /** Mean/std/count of computed (cache-miss) serve latencies since open
+    * or the last [[resetTiming]]. */
+  def timing: QueryTiming = timingLock.synchronized {
+    QueryTiming(tCount, tMean,
+      if (tCount > 1) math.sqrt(tM2 / (tCount - 1)) else 0.0)
+  }
+  def resetTiming(): Unit = timingLock.synchronized {
+    tCount = 0L; tMean = 0.0; tM2 = 0.0
   }
 
   private val MaxServeK = 100

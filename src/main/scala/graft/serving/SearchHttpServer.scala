@@ -50,12 +50,20 @@ final class SearchHttpServer private (server: HttpServer, session: SearchSession
         params.get("query") match {
           case None => respond(ex, 400, """{"error":"missing query parameter"}""")
           case Some(q) =>
-            counter.incrementAndGet()
-            // clamp BELOW too: a non-positive k would reach the top-k
-            // heap as an invalid bound and crash the query job — one 400
-            // per malformed request, not one failed Spark job
-            val k = math.max(1, params.get("k").flatMap(v => v.toIntOption).getOrElse(10))
-            respond(ex, 200, SearchHttpServer.renderResponse(q, session.serve(q, k)))
+            // strict k contract: absent k defaults to 10; an unparsable
+            // or non-positive k is a client error — one 400 per
+            // malformed request, never a crashed query job (and never a
+            // silent clamp serving rank-1 results for k=0)
+            params.get("k") match {
+              // forall: an unparsable k (toIntOption None) is as malformed
+              // as an explicit k <= 0
+              case Some(v) if v.toIntOption.forall(_ <= 0) =>
+                respond(ex, 400, """{"error":"k must be a positive integer"}""")
+              case kParam =>
+                counter.incrementAndGet()
+                val k = kParam.flatMap(_.toIntOption).getOrElse(10)
+                respond(ex, 200, SearchHttpServer.renderResponse(q, session.serve(q, k)))
+            }
         }
       }
     } catch {

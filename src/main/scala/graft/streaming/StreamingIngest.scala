@@ -50,23 +50,13 @@ object StreamingIngest {
     if (batch.isEmpty) return
     val segName = f"seg-stream-$batchId%06d"
     val segDir = s"$indexDir/updates/$segName"
-    val offset = maxDocIdExcluding(spark, indexDir, segDir) + 1
+    val offset = IndexUpdater.maxDocId(spark, indexDir, excludeDir = Some(segDir)) + 1
     val params =
       if (graft.catalog.TableManifest.exists(IndexBuilder.stageDir(indexDir, "blocks")))
         IndexUpdater.paramsOf(indexDir)
       else graft.index.Bm25Params()
     IndexBuilder.build(spark, batch, segDir, params, docIdOffset = offset,
       auditExtraction = false)
-  }
-
-  private def maxDocIdExcluding(spark: SparkSession, indexDir: String, excludeDir: String): Long = {
-    val dirs = (indexDir +: IndexUpdater.segmentDirs(indexDir))
-      .filterNot(_ == excludeDir)
-      .map(d => IndexBuilder.stageDir(d, "docs"))
-      .filter(d => graft.catalog.TableManifest.exists(d))
-    if (dirs.isEmpty) -1L
-    else dirs.map(d => spark.read.parquet(d)
-      .agg(coalesce(max(col("doc_id")), lit(-1L))).head.getLong(0)).max
   }
 
   /** Event-time crawl monitoring: docs per (host, 1-hour warc_ts window),

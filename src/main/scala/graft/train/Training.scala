@@ -22,6 +22,11 @@ import graft.query.{Bm25IndexTables, Bm25Search}
   */
 object Training {
 
+  /** Broadcast the in-batch score matrix only while qids × docs stays
+    * under this many cells (~24 B/row → ≲ 24 MB serialized); bigger
+    * matrices take the planner's shuffle join. */
+  private val ScoredBroadcastMaxCells = 1L << 20
+
   /** Batch-by-length + reverse permutation (SURVEY §2.3 T5; reference
     * `_sort_by_length` + `_split_into_batches`,
     * colbert/modeling/tokenization/utils.py:70-85, undone via
@@ -120,12 +125,20 @@ object Training {
     val ownNegs = triples.filter(col("way") > 0).select(col("qid"), col("doc_id"))
     val ownPos = triples.filter(col("way") === 0)
       .select(col("qid"), col("doc_id"), lit(1).as("label"))
-    // every join side is batch-bounded — broadcast hints keep the matrix
-    // assembly free of sort-merge shuffles (the aggregate outputs carry no
-    // size stats, so the planner alone can pick SMJ for k-row frames)
+    // batchDocs/ownNegs/ownPos are batch-LINEAR (bsize·nway rows) — always
+    // broadcast them (the aggregate outputs carry no size stats, so the
+    // planner alone would pick SMJ for k-row frames). `scored` is batch-
+    // QUADRATIC (one row per qid × batch doc, O(bsize²·nway)); an
+    // unconditional hint would force a multi-GB broadcast on a large
+    // training batch where the planner should fall back to a shuffle join,
+    // so gate it on the matrix bound (two tiny count jobs over the
+    // batch-bounded key frames).
+    val scoredMatrixBound = qids.count() * batchDocs.count()
+    val scoredSide =
+      if (scoredMatrixBound <= ScoredBroadcastMaxCells) broadcast(scored) else scored
     qids.crossJoin(broadcast(batchDocs))
       .join(broadcast(ownNegs), Seq("qid", "doc_id"), "left_anti")
-      .join(broadcast(scored), Seq("qid", "doc_id"), "left")
+      .join(scoredSide, Seq("qid", "doc_id"), "left")
       .join(broadcast(ownPos), Seq("qid", "doc_id"), "left")
       .select(col("qid"), col("doc_id"),
         coalesce(col("score"), lit(0.0)).as("score"),
@@ -168,7 +181,12 @@ object Training {
     * All softmaxes are max-shifted; score inputs are pre-rounded to 4
     * decimals so both engines of the correctness gate exponentiate
     * IDENTICAL doubles; folds run in canonical order (way asc / doc_id
-    * asc) so the sums are layout-stable.
+    * asc) so the sums are layout-stable. Every TRANSCENDENTAL output
+    * (`exp`, `ln`) is itself rounded to an 8-decimal grid before any
+    * reuse: JVM libm and DuckDB libm differ in the last ulp, and an
+    * unrounded ulp can flip the final `round(…, 4)` whenever a loss
+    * lands within ~1e-13 of a 0.00005 boundary. With the grid, both
+    * engines fold bit-identical doubles through IEEE-exact +/-/×/÷ only.
     *
     * `nway`: (qid, way, teacher, student); `ib`: [[inBatchScores]] rows. */
   def losses(nway: DataFrame, ib: DataFrame): DataFrame = {
@@ -209,17 +227,20 @@ object Training {
         expr("transform(ys, y -> y.s)").as("iss"))
       .withColumn("m_s", expr("array_max(ss)"))
       .withColumn("m_t", expr("array_max(ts)"))
-      .withColumn("zs", expr("aggregate(ss, 0d, (a, x) -> a + exp(x - m_s))"))
-      .withColumn("zt", expr("aggregate(ts, 0d, (a, x) -> a + exp(x - m_t))"))
+      .withColumn("zs", expr("aggregate(ss, 0d, (a, x) -> a + round(exp(x - m_s), 8))"))
+      .withColumn("zt", expr("aggregate(ts, 0d, (a, x) -> a + round(exp(x - m_t), 8))"))
       .withColumn("m_i", expr("array_max(iss)"))
-      .withColumn("z_i", expr("aggregate(iss, 0d, (a, x) -> a + exp(x - m_i))"))
+      .withColumn("z_i", expr("aggregate(iss, 0d, (a, x) -> a + round(exp(x - m_i), 8))"))
+      .withColumn("lzs", round(log(col("zs")), 8))
+      .withColumn("lzt", round(log(col("zt")), 8))
+      .withColumn("lz_i", round(log(col("z_i")), 8))
       .select(col("qid"),
-        (-(col("s_pos") - col("m_s") - log(col("zs")))).as("ce_nway"),
+        (-(col("s_pos") - col("m_s") - col("lzs"))).as("ce_nway"),
         expr("""aggregate(
                   zip_with(ss, ts, (sv, tv) ->
-                    exp(tv - m_t) / zt *
-                      ((tv - m_t - ln(zt)) - (sv - m_s - ln(zs)))),
+                    round(exp(tv - m_t), 8) / zt *
+                      ((tv - m_t - lzt) - (sv - m_s - lzs))),
                   0d, (a, x) -> a + x)""").as("kl_distill"),
-        (-(col("si_pos") - col("m_i") - log(col("z_i")))).as("ib_ce"))
+        (-(col("si_pos") - col("m_i") - col("lz_i"))).as("ib_ce"))
   }
 }

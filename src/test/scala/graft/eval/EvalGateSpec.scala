@@ -48,4 +48,20 @@ class EvalGateSpec extends AnyFunSuite {
     assert(metrics._3 == 1.0, s"Success@5 rate = ${metrics._3}, expected 1.0")
     assert(metrics._4 == planted.count())
   }
+
+  test("bestCheckpoint argmaxes the metric with a deterministic tiebreak") {
+    val evals = Seq(
+      ("colbert-1000", 0.31, 0.80),
+      ("colbert-2000", 0.42, 0.85),
+      ("colbert-3000", 0.42, 0.90), // ties 2000 on mrr10 — lower id wins
+      ("colbert-500", 0.12, 0.99))
+      .toDF("checkpoint", "mrr10", "recall10")
+    val best = Metrics.bestCheckpoint(evals, "mrr10")
+      .as[(String, Double, Double)].collect()
+    assert(best.toSeq == Seq(("colbert-2000", 0.42, 0.85)))
+    // a different metric column selects a different winner
+    val byRecall = Metrics.bestCheckpoint(evals, "recall10")
+      .select(col("checkpoint")).as[String].head()
+    assert(byRecall == "colbert-500")
+  }
 }

@@ -187,12 +187,15 @@ class IndexUpdaterSpec extends AnyFunSuite {
     val want = byUrl(
       Bm25Search.searchFull(queries, IndexBuilder.open(spark, dir), 10),
       spark.read.parquet(IndexBuilder.stageDir(dir, "docs")))
-    // simulate an add() that died mid-build: docs stage committed, the
-    // rest absent — exactly what a crash between stages leaves behind
+    // simulate an add() that died mid-build: docs stage committed WITH a
+    // doc_id range past the base max (exactly what a crashed streaming
+    // batch leaves — its docs stage and ids are durable, a replay will
+    // complete the segment in place keeping those ids), the rest absent
+    val partialTopId = NBase + 499L
     val partial = s"$dir/updates/seg-0"
     val docsDir = IndexBuilder.stageDir(partial, "docs")
-    extraPages.limit(10).select(lit(7L).as("doc_id"), col("url"), col("warc_ts"),
-      col("text"), col("lang"), lit(3).as("dl")).write.parquet(docsDir)
+    extraPages.limit(10).select(lit(partialTopId).as("doc_id"), col("url"),
+      col("warc_ts"), col("text"), col("lang"), lit(3).as("dl")).write.parquet(docsDir)
     TableManifest.commit(docsDir,
       TableManifest("docs", 0L, 10L, Seq.empty, Map.empty))
     assert(IndexUpdater.committedSegmentDirs(dir).isEmpty)
@@ -200,9 +203,16 @@ class IndexUpdaterSpec extends AnyFunSuite {
       Bm25Search.searchFull(queries, IndexUpdater.openMerged(spark, dir), 10),
       spark.read.parquet(IndexBuilder.stageDir(dir, "docs")))
     assert(got == want, "partial segment leaked into the merged read")
-    // and a retried add() never collides with the partial dir's seg id
+    // a retried add() never collides with the partial dir's seg id, and —
+    // the round-3 ADVICE bug — its doc_ids must allocate PAST the partial
+    // segment's committed ids, or a later replay completing seg-0 would
+    // leave two committed segments sharing an id range
     val seg = IndexUpdater.add(spark, dir, extraPages)
     assert(seg.endsWith("seg-1"))
+    val segMinId = spark.read.parquet(IndexBuilder.stageDir(seg, "docs"))
+      .agg(min(col("doc_id"))).head.getLong(0)
+    assert(segMinId == partialTopId + 1,
+      s"add() allocated $segMinId over a partial segment committed up to $partialTopId")
   }
 
   test("compaction preserves results and clears the need for merge overhead") {

@@ -95,6 +95,38 @@ class PlanSpec extends AnyFunSuite {
       s"huge tombstone set must anti-join via shuffle, not broadcast:\n$hugePlan")
   }
 
+  test("phrase verify tokenizes candidate docs only (tokenize above the semi-join)") {
+    import spark.implicits._
+    // persist the index tables (as every real caller does): their build
+    // plans contain corpus tokenizes that would otherwise show up as
+    // false positives below
+    val raw = Bm25IndexTables.fromDocs(docs)
+    val index = raw.copy(blocks = raw.blocks.persist(),
+      termStats = raw.termStats.persist(), corpusStats = raw.corpusStats.persist())
+    index.blocks.count(); index.termStats.count(); index.corpusStats.count()
+    // driver-sized batch → the query side compiles on the driver, so the
+    // ONLY graft_tokenize expressions left in the plan are doc-side
+    val queries = Seq((1L, "w1 w2")).toDF("qid", "text")
+    val df = Bm25Search.searchPhrase(queries, index, docs, 10)
+    val opt = df.queryExecution.optimizedPlan
+    val tokNodes = opt.collect {
+      case p if p.expressions.exists(_.exists(_.prettyName == "graft_tokenize")) => p
+    }
+    assert(tokNodes.nonEmpty, s"no doc-side tokenize found:\n$opt")
+    // every tokenize projection must consume the candidate semi-join's
+    // output — a tokenize over the bare corpus scan means the physical
+    // plan re-tokenizes EVERY doc per phrase batch (the round-3 bug)
+    tokNodes.foreach { n =>
+      val semiBelow = n.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(semiBelow.nonEmpty,
+        s"doc tokenize evaluated below the candidate semi-join:\n$opt")
+    }
+    index.blocks.unpersist(); index.termStats.unpersist(); index.corpusStats.unpersist()
+  }
+
   test("WAND stage B reads only ids + bounds (column pruning on the blocks scan)") {
     val dir = Files.createTempDirectory("graft-plan2").toString
     IndexBuilder.build(spark, Synthesizer.pages(spark, 200, 3), dir, auditExtraction = false)

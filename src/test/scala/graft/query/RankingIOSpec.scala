@@ -65,6 +65,27 @@ class RankingIOSpec extends AnyFunSuite {
     assert(got == Set((1L, 110L, 1, 3.5), (1L, 120L, 2, 2.5)))
   }
 
+  test("splitByQueries routes each ranking row to its qid's set; asserts kept") {
+    val ranking = Seq(
+      (1L, 10L, 1, 3.5), (1L, 20L, 2, 2.5),
+      (2L, 30L, 1, 9.0), (3L, 40L, 1, 1.0))
+      .toDF("qid", "doc_id", "rank", "score")
+    val setA = Seq((1L, "qa"), (3L, "qc")).toDF("qid", "text")
+    val setB = Seq((2L, "qb")).toDF("qid", "text")
+    val Seq(a, b) = RankingIO.splitByQueries(ranking, Seq(setA, setB))
+    assert(a.as[(Long, Long, Int, Double)].collect().toSet ==
+      Set((1L, 10L, 1, 3.5), (1L, 20L, 2, 2.5), (3L, 40L, 1, 1.0)))
+    assert(b.as[(Long, Long, Int, Double)].collect().toSet == Set((2L, 30L, 1, 9.0)))
+    // a qid claimed by two sets is an error (reference's file_idx assert)
+    intercept[IllegalArgumentException] {
+      RankingIO.splitByQueries(ranking, Seq(setA, setA))
+    }
+    // a ranking qid covered by no set is an error (KeyError analog)
+    intercept[IllegalArgumentException] {
+      RankingIO.splitByQueries(ranking, Seq(setA))
+    }
+  }
+
   test("df-pruned search drops stopword-grade terms but keeps rare-term results") {
     import graft.analysis.Tokenizer
     import graft.corpus.Synthesizer

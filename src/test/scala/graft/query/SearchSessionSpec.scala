@@ -58,6 +58,22 @@ class SearchSessionSpec extends AnyFunSuite {
       assert(again == served && session.cacheSize == n0)
       session.serve("w2 w4", 5)
       assert(session.cacheSize == n0 + 1)
+
+      // per-query timing (searcher.py:101-114): accumulates over computed
+      // serves only — the cache-hit replay above must NOT have counted —
+      // and resets on demand
+      val t = session.timing
+      assert(t.count == 2, s"2 computed serves expected, got $t")
+      assert(t.meanSec > 0.0 && t.stdSec >= 0.0)
+      session.serve("w3 w5", 5)
+      val t2 = session.timing
+      assert(t2.count == 3 && t2.meanSec > 0.0)
+      session.resetTiming()
+      val t3 = session.timing
+      assert(t3 == QueryTiming(0, 0.0, 0.0))
+      // accumulation restarts cleanly after a reset
+      session.serve("w4 w6", 5)
+      assert(session.timing.count == 1)
     } finally session.close()
   }
 }

@@ -74,9 +74,17 @@ class SearchHttpServerSpec extends AnyFunSuite {
       val (ws, wb) = get(s"http://127.0.0.1:${server.port}/api/search?query=$weird&k=3")
       assert(ws == 200 && wb.contains("""{"query":"w1 \"x\\y\"""""))
 
-      // a non-positive k clamps to 1 instead of crashing the query job
+      // a non-positive or unparsable k is a client error (400), not a
+      // crashed query job and not a silently clamped rank-1 result
       val (ns, nb) = get(s"http://127.0.0.1:${server.port}/api/search?query=$enc&k=-1")
-      assert(ns == 200 && nb.contains("\"rank\":1") && !nb.contains("\"rank\":2"))
+      assert(ns == 400 && nb.contains("positive integer"))
+      val (zs, _) = get(s"http://127.0.0.1:${server.port}/api/search?query=$enc&k=0")
+      assert(zs == 400)
+      val (us, _) = get(s"http://127.0.0.1:${server.port}/api/search?query=$enc&k=ten")
+      assert(us == 400)
+      // malformed-k 400s do not increment the api counter (three 200s so
+      // far: k=5, default, the escaped query)
+      assert(server.requestCount == 3)
     } finally {
       server.stop()
       session.close()
