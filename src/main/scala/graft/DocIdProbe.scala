@@ -56,6 +56,27 @@ object DocIdProbe {
           case "C" =>
             val (ids, h) = IndexBuilder.assignDocIdsPersisted(narrow, cpus)
             handle = Some(h); ids
+          case "D" =>
+            // narrow persist: only urls ride the sort+persist; full rows
+            // take ONE decode and ONE hash exchange (the id join)
+            val sortedUrls = narrow.select(col("url"))
+              .repartitionByRange(cpus, col("url"))
+              .sortWithinPartitions(col("url"))
+              .withColumn("mid", monotonically_increasing_id())
+              .withColumn("pid", shiftright(col("mid"), 33).cast("int"))
+              .withColumn("local", col("mid").bitwiseAND(lit((1L << 33) - 1)))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+            handle = Some(sortedUrls)
+            val counts = sortedUrls.groupBy(col("pid")).count().collect()
+              .map(r => r.getInt(0) -> r.getLong(1)).toMap
+            val pids = counts.keys.toSeq.sorted
+            val offsets = pids.zip(
+              pids.scanLeft(0L)((acc, p) => acc + counts(p)).dropRight(1)).toMap
+            val offsetDf = broadcast(
+              spark.createDataFrame(offsets.toSeq).toDF("pid", "offset"))
+            val ids = sortedUrls.join(offsetDf, "pid")
+              .select(col("url"), (col("offset") + col("local")).as("doc_id"))
+            narrow.join(ids, "url")
         }
         withIds
           .select(col("doc_id"), col("url"), col("warc_ts"), col("text"), col("lang"),
@@ -67,17 +88,18 @@ object DocIdProbe {
 
       // JIT/codegen warmup on a small slice of each strategy
       val warm = Files.createTempDirectory(s"docid-warm-$cpus").toString
-      docsStage("A", warm); docsStage("B", warm); docsStage("C", warm)
-      val times = scala.collection.mutable.Map("A" -> List.empty[Double], "C" -> List.empty[Double],
-        "B" -> List.empty[Double])
+      val strats = Seq("A", "B", "C", "D")
+      strats.foreach(s => docsStage(s, warm))
+      val times = scala.collection.mutable.Map(strats.map(_ -> List.empty[Double]): _*)
       val out = Files.createTempDirectory(s"docid-out-$cpus").toString
-      for (r <- 1 to reps; s <- Seq("A", "B", "C")) {
+      for (r <- 1 to reps; s <- strats) {
         val t = docsStage(s, out)
         times(s) = times(s) :+ t
         println(f"DOCID cpus=$cpus rep=$r strat=$s sec=$t%.2f")
       }
       println(f"DOCID cpus=$cpus SUMMARY persisted_min=${times("A").min}%.2f " +
-        f"twopass_min=${times("B").min}%.2f memdisk_min=${times("C").min}%.2f")
+        f"twopass_min=${times("B").min}%.2f memdisk_min=${times("C").min}%.2f " +
+        f"narrowjoin_min=${times("D").min}%.2f")
       spark.stop()
       Seq(pagesDir, warm, out).foreach(deleteRecursively)
     }

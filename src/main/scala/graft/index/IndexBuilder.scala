@@ -379,9 +379,27 @@ object IndexBuilder {
     // Folding the audit here deletes what used to be a SEPARATE full
     // blocks scan per build (and a distinct-aggregate Expand at that).
     val tsObs = org.apache.spark.sql.Observation()
-    val termReport = runStage(spark, indexDir, "termstats", blocksReport.snapshotId, baseCfg) {
-      val blocks = spark.read.parquet(stageDir(indexDir, "blocks"))
-      Bm25Index.termStatsFromBlocks(blocks, corpus, audit = Some(tsObs))
+    // vocabulary-sized aggregation: at full machine width the fixed
+    // shuffle width buys only scheduling overhead (measured in the STAGES
+    // probe: 0.37 s @8 → 0.65 s @32 with 32 reduce tasks on a ~100k-row
+    // table — the stage REGRESSED with cores). Cap this stage's reduce
+    // width at ~cores/4; the conf is scoped to the stage's one action and
+    // restored immediately (the build owns the session while it runs).
+    val termReport = {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, math.max(4, parts / 4).toString)
+      try runStage(spark, indexDir, "termstats", blocksReport.snapshotId, baseCfg) {
+        // coalesce the MAP side too: the blocks table carries one file per
+        // build partition, and one scan task per file on a vocabulary-
+        // sized aggregate is pure scheduling overhead at full width (the
+        // reduce cap alone measured 0.65 → 0.43 s @32, still above @8's
+        // 0.31). Coalesce keeps partial aggregation per (merged) partition
+        // and scales with the configured width on a real cluster.
+        val blocks = spark.read.parquet(stageDir(indexDir, "blocks"))
+          .coalesce(math.max(4, parts / 4))
+        Bm25Index.termStatsFromBlocks(blocks, corpus, audit = Some(tsObs))
+      } finally spark.conf.set(key, prev)
     }
     reports += termReport
     if (!termReport.skipped) {
