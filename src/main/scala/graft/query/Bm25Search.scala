@@ -502,26 +502,35 @@ object Bm25Search {
       .select(col("qid"), col("doc_id"), size(col("ps")).as("mn"),
         expr("aggregate(ps, 0d, (acc, x) -> acc + x.partial)").as("score"))
     val conj = scored.join(broadcast(nPerQ), "qid").filter(col("mn") === col("qn"))
-    // tokenize SURVIVORS only: semi-join docsText down to the candidate
-    // doc_ids BEFORE the tokenizeDoc projection. Catalyst never defers a
+    // tokenize SURVIVORS only, in ONE corpus pass: stream docsText through
+    // a broadcast join against the conjunction survivors, then apply the
+    // tokenizeDoc projection ABOVE that join. Catalyst never defers a
     // projection past a join, so tokenizing inside the join's corpus-side
-    // input would physically re-tokenize EVERY doc per phrase batch — a
-    // full-corpus tokenize at 100 TB. The candidate set is
-    // conjunction-bounded (≤ Σ_q df(rarest term)), hence broadcastable.
-    val candDocs = conj.select(col("doc_id")).distinct()
-    val candText = docsText
-      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), Tokenizer.tokenizeDoc(col("text")).as("toks"))
+    // input (the round-3 shape) physically re-tokenized EVERY doc per
+    // phrase batch — a full-corpus tokenize at 100 TB. And referencing
+    // conj from two plans (a semi-join prefilter + the verify join) would
+    // execute its whole candidate pipeline twice — broadcasting conj
+    // itself keeps one execution, one corpus scan, and zero corpus
+    // shuffles. conj is conjunction-bounded (≤ Σ_q df(rarest term)); a
+    // doc matching several phrases tokenizes once per match, still
+    // candidate-bounded.
     // ptoks: one adjacency pattern per qid (a qid carrying two DIFFERENT
     // texts has no well-defined single phrase)
-    val verified = candText
+    // adjacency as separator-delimited string containment: tokens are
+    // [\p{L}\p{Nd}]+ runs so a space can never occur inside one, making
+    // " t1 t2 … " contains " p1 p2 p3 " ⟺ (p1..pn) consecutive in toks.
+    // The HOF formulation (exists over sequence + slice equality) allocated
+    // a fresh slice array per position per candidate — measured as the
+    // dominant term of the phrase query on a stopword-dense corpus;
+    // UTF8String.contains is a codegen'd scan with zero per-position
+    // allocation.
+    def sepJoined(c: org.apache.spark.sql.Column) =
+      concat(lit(" "), array_join(c, " "), lit(" "))
+    val verified = docsText
       .join(broadcast(conj), "doc_id")
+      .withColumn("toks", Tokenizer.tokenizeDoc(col("text")))
       .join(broadcast(ptoks), "qid")
-      // guard the sequence() bounds: Spark's sequence(1, n) DESCENDS for
-      // n < 1, so the short-doc case must short-circuit first
-      .filter(size(col("pt")) > 0 && size(col("toks")) >= size(col("pt")) &&
-        expr("""exists(sequence(1, size(toks) - size(pt) + 1),
-               |  i -> slice(toks, i, size(pt)) = pt)""".stripMargin))
+      .filter(size(col("pt")) > 0 && sepJoined(col("toks")).contains(sepJoined(col("pt"))))
       .select(col("qid"), col("doc_id"), col("score"))
     topK(verified, k)
   }

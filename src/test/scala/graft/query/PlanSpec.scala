@@ -95,7 +95,7 @@ class PlanSpec extends AnyFunSuite {
       s"huge tombstone set must anti-join via shuffle, not broadcast:\n$hugePlan")
   }
 
-  test("phrase verify tokenizes candidate docs only (tokenize above the semi-join)") {
+  test("phrase verify tokenizes candidate docs only (tokenize above the candidate join)") {
     import spark.implicits._
     // persist the index tables (as every real caller does): their build
     // plans contain corpus tokenizes that would otherwise show up as
@@ -113,16 +113,16 @@ class PlanSpec extends AnyFunSuite {
       case p if p.expressions.exists(_.exists(_.prettyName == "graft_tokenize")) => p
     }
     assert(tokNodes.nonEmpty, s"no doc-side tokenize found:\n$opt")
-    // every tokenize projection must consume the candidate semi-join's
-    // output — a tokenize over the bare corpus scan means the physical
-    // plan re-tokenizes EVERY doc per phrase batch (the round-3 bug)
+    // every tokenize projection must consume the candidate join's output —
+    // a tokenize applied directly over the bare corpus scan (no join
+    // below it) means the physical plan re-tokenizes EVERY doc per phrase
+    // batch (the round-3 bug)
     tokNodes.foreach { n =>
-      val semiBelow = n.collect {
-        case j: org.apache.spark.sql.catalyst.plans.logical.Join
-          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      val joinBelow = n.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
       }
-      assert(semiBelow.nonEmpty,
-        s"doc tokenize evaluated below the candidate semi-join:\n$opt")
+      assert(joinBelow.nonEmpty,
+        s"doc tokenize evaluated below the candidate join:\n$opt")
     }
     index.blocks.unpersist(); index.termStats.unpersist(); index.corpusStats.unpersist()
   }
