@@ -9,13 +9,19 @@ import graft.analysis.Tokenizer
 import graft.corpus.Synthesizer
 import graft.index.IndexBuilder
 
-/** Head-to-head probe of the two UNAUDITED docId-assignment strategies
+/** Head-to-head probe of the UNAUDITED docId-assignment strategies
   * (the audited build always takes the two-pass plan): for each cpu count
   * it times the full docs-stage write under
   *   A: assignDocIdsPersisted (range sort + DISK_ONLY persist + offset join)
   *   B: planDocIds + applyDocIds (url-only boundary pass + binary-search
   *      bucket + per-bucket row_number — re-reads the filter columns once)
-  * alternating A/B per rep so episodic VM contention windows hit both arms.
+  *   C: assignDocIdsPersisted at its default MEMORY_AND_DISK_SER — the
+  *      build's production choice
+  *   D: narrow url-only persist + ids joined back to the full rows by url
+  *      (round-4 experiment: pays a second text decode + a full-row hash
+  *      exchange; measured LOSING to C at both widths — see SCALE.md)
+  * interleaving A/B/C/D per rep so episodic VM contention windows hit
+  * every arm.
   * `runMain graft.DocIdProbe` with PROBE_DOCS / PROBE_CPUS / PROBE_REPS.
   */
 object DocIdProbe {

@@ -163,10 +163,13 @@ object SparkEntry {
       val trip = triplesFor(s, dir)
       val student = Training.fliprScoresFor(
         flagshipQueriesDf(s), trip.select(col("doc_id")).distinct(), indexFor(s, dir))
-      // both sides are batch-bounded; the student side is an aggregate
-      // output with no size stats, so hint the broadcast explicitly
-      trip
-        .join(broadcast(student), Seq("qid", "doc_id"))
+      // broadcast the LINEAR side: triples are bsize·nway rows by
+      // construction, while the student frame is one row per sharing
+      // (qid, batch doc) pair — up to batch-QUADRATIC, the same shape
+      // Training.inBatchScores gates its broadcast on. Each triple
+      // matches ≤1 student row, so the join output stays triple-sized.
+      student
+        .join(broadcast(trip), Seq("qid", "doc_id"))
         .select(col("qid"), col("way"),
           col("score").as("teacher"), col("student_score").as("student"))
         .persist()

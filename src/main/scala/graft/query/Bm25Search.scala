@@ -25,6 +25,13 @@ object Bm25Search {
     * genuinely rare terms (fewer blocks than the cap) fully scored. */
   val ThetaBlocks = 64
 
+  /** Broadcast the phrase-verify survivor frame only while the
+    * driver-known Σ_q df(rarest) bound stays under this many candidate
+    * rows (~40 B/row → ≲ 80 MB serialized); a stopword-only phrase batch
+    * on a big corpus has df(rarest) = Θ(N) and must leave the planner
+    * free to shuffle the verify join instead. */
+  private val PhraseBroadcastMaxCandidates = 1L << 21
+
   /** (qid, text) → (qid, term, qtf, idf): tokenize ≤32 terms (reference
     * query_maxlen, settings.py:139), count query-term multiplicity, attach
     * idf. Unknown terms drop out via the inner join (they cannot score). */
@@ -421,7 +428,7 @@ object Bm25Search {
     // over frames of ≤ batch-size rows. Larger batches keep the fully
     // distributed plan; rows are identical either way.
     val local = collectBatch(queries)
-    val (qterms, rarest, nPerQ, ptoks) = local match {
+    val (qterms, rarest, nPerQ, ptoks, candBound) = local match {
       case Some(rows) =>
         val counts = tokenizeRows(rows) // merged distinct (qid, term, qtf)
         val dict = lookupTerms(counts.map(_._2).distinct, index.termStats)
@@ -429,9 +436,13 @@ object Bm25Search {
           dict.get(t).map { case (id, idf, df) => (qid, t, qtf, id, idf, df) }
         }
         val qtermsDf = compiled.toDF("qid", "term", "qtf", "term_id", "idf", "df")
-        val rarestDf = compiled.groupBy(_._1).values
+        val perQidRarest = compiled.groupBy(_._1).values
           .map(rs => rs.minBy(r => (r._6, r._4))).toSeq
-          .map(r => (r._1, r._4)).toDF("qid", "term_id")
+        val rarestDf = perQidRarest.map(r => (r._1, r._4)).toDF("qid", "term_id")
+        // Σ_q df(rarest): a DRIVER-known upper bound on the candidate set
+        // (and hence on conj) — it decides whether the verify join may
+        // broadcast the survivors (metadata-only, no extra job)
+        val bound = Some(perQidRarest.map(_._6).sum)
         // qn counts DISTINCT query tokens INCLUDING out-of-vocabulary
         // ones (an OOV term must fail the conjunction) — counts is
         // already one row per distinct (qid, term)
@@ -446,7 +457,7 @@ object Bm25Search {
           (qid, Option(Tokenizer.tokenize(t, Tokenizer.QueryMaxTerms))
             .map(_.toSeq).getOrElse(Seq.empty[String]))
         }.toDF("qid", "pt")
-        (qtermsDf, rarestDf, nPerQDf, ptoksDf)
+        (qtermsDf, rarestDf, nPerQDf, ptoksDf, bound)
       case None =>
         val qtermsDf = compileQueries(queries, index.termStats)
         val wMin = Window.partitionBy(col("qid"))
@@ -463,7 +474,9 @@ object Bm25Search {
           .filter(col("qid").isNotNull && col("text").isNotNull)
           .select(col("qid"), Tokenizer.tokenizeQuery(col("text")).as("pt"))
           .dropDuplicates("qid")
-        (qtermsDf, rarestDf, nPerQDf, ptoksDf)
+        // corpus-scale batch: no driver-side candidate bound exists, so
+        // the verify join must not assume broadcastability
+        (qtermsDf, rarestDf, nPerQDf, ptoksDf, None)
     }
     val decoded = index.decode(
       index.blocks.join(broadcast(qterms.select(col("term_id")).distinct()), "term_id"))
@@ -509,9 +522,12 @@ object Bm25Search {
     // input (the round-3 shape) physically re-tokenized EVERY doc per
     // phrase batch — a full-corpus tokenize at 100 TB. And referencing
     // conj from two plans (a semi-join prefilter + the verify join) would
-    // execute its whole candidate pipeline twice — broadcasting conj
-    // itself keeps one execution, one corpus scan, and zero corpus
-    // shuffles. conj is conjunction-bounded (≤ Σ_q df(rarest term)); a
+    // execute its whole candidate pipeline twice — joining conj itself
+    // keeps one execution and one corpus scan. The broadcast is GATED on
+    // the driver-known Σ_q df(rarest) bound: a stopword-only phrase
+    // batch has df(rarest) = Θ(N), and an unconditional hint would force
+    // a corpus-scale broadcast where the planner must be free to shuffle
+    // instead (corpus-scale batches carry no bound and never hint). A
     // doc matching several phrases tokenizes once per match, still
     // candidate-bounded.
     // ptoks: one adjacency pattern per qid (a qid carrying two DIFFERENT
@@ -525,9 +541,11 @@ object Bm25Search {
     // UTF8String.contains is a codegen'd scan with zero per-position
     // allocation.
     def sepJoined(c: org.apache.spark.sql.Column) =
-      concat(lit(" "), array_join(c, " "), lit(" "))
+      concat(lit(" "), array_join(c, " "), lit(" "))
+    val conjSide =
+      if (candBound.exists(_ <= PhraseBroadcastMaxCandidates)) broadcast(conj) else conj
     val verified = docsText
-      .join(broadcast(conj), "doc_id")
+      .join(conjSide, "doc_id")
       .withColumn("toks", Tokenizer.tokenizeDoc(col("text")))
       .join(broadcast(ptoks), "qid")
       .filter(size(col("pt")) > 0 && sepJoined(col("toks")).contains(sepJoined(col("pt"))))

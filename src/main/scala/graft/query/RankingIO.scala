@@ -82,8 +82,12 @@ object RankingIO {
     * kept: a qid claimed by TWO sets is an error, and a ranking qid
     * covered by NO set is an error (its qid_to_file_idx lookup would
     * KeyError). Query sets are query-scale (not corpus-scale), so the
-    * routing table broadcasts; each returned frame shares the single
-    * routed join. */
+    * routing table broadcasts; the routed join is PERSISTED (rankings
+    * are k rows per query — small by this module's contract) so the
+    * coverage check and every returned frame share one execution of the
+    * ranking plan instead of re-running a possibly expensive search per
+    * set. The persist lives until the session drops it (or the caller
+    * unpersists a returned frame's parent). */
   def splitByQueries(ranking: DataFrame, querySets: Seq[DataFrame]): Seq[DataFrame] = {
     require(querySets.nonEmpty, "at least one query set required")
     val tagged = querySets.zipWithIndex
@@ -93,9 +97,13 @@ object RankingIO {
       .reduce(_ unionByName _)
     val dups = tagged.groupBy(col("qid")).count().filter(col("count") > 1).count()
     require(dups == 0, s"$dups qids appear in more than one query set")
-    val routed = ranking.join(broadcast(tagged), Seq("qid"), "left")
+    val routed = ranking.join(broadcast(tagged), Seq("qid"), "left").persist()
     val uncovered = routed.filter(col("set_idx").isNull).count()
-    require(uncovered == 0, s"$uncovered ranking rows carry qids in no query set")
+    if (uncovered != 0) {
+      routed.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"requirement failed: $uncovered ranking rows carry qids in no query set")
+    }
     querySets.indices.map(i => routed.filter(col("set_idx") === i).drop("set_idx"))
   }
 

@@ -186,7 +186,11 @@ object Training {
     * reuse: JVM libm and DuckDB libm differ in the last ulp, and an
     * unrounded ulp can flip the final `round(…, 4)` whenever a loss
     * lands within ~1e-13 of a 0.00005 boundary. With the grid, both
-    * engines fold bit-identical doubles through IEEE-exact +/-/×/÷ only.
+    * engines fold matching doubles through IEEE-exact +/-/×/÷ only —
+    * a cross-engine flip now needs the TRUE exp/ln value itself to sit
+    * within ~1 ulp of a 0.5e-8 grid boundary (measure ~1e-8 per cell,
+    * vs the ~1e-4-scale exposure of rounding the accumulated sums
+    * alone; probed empirically at 0/400k disagreements).
     *
     * `nway`: (qid, way, teacher, student); `ib`: [[inBatchScores]] rows. */
   def losses(nway: DataFrame, ib: DataFrame): DataFrame = {
