@@ -417,7 +417,14 @@ object Bm25Search {
     * candidate-bounded verify is the cheaper default.
     */
   def searchPhrase(queries: DataFrame, index: Bm25IndexTables, docsText: DataFrame,
-                   k: Int, p: Bm25Params = Bm25Params()): DataFrame = {
+                   k: Int, p: Bm25Params = Bm25Params()): DataFrame =
+    searchPhraseImpl(queries, index, docsText, k, p, MaxDriverCompileQueries)
+
+  /** [[searchPhrase]] with an injectable driver-compile cap — test seam
+    * for the distributed (over-cap) branch without a 4096-query fixture. */
+  private[query] def searchPhraseImpl(queries: DataFrame, index: Bm25IndexTables,
+                                      docsText: DataFrame, k: Int, p: Bm25Params,
+                                      driverCap: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     // A driver-sized batch compiles ALL its per-qid metadata on the
@@ -427,7 +434,7 @@ object Bm25Search {
     // chain (compile join, rarest window, qn groupBy, pattern dedup)
     // over frames of ≤ batch-size rows. Larger batches keep the fully
     // distributed plan; rows are identical either way.
-    val local = collectBatch(queries)
+    val local = collectBatch(queries, driverCap)
     val (qterms, rarest, nPerQ, ptoks, candBound) = local match {
       case Some(rows) =>
         val counts = tokenizeRows(rows) // merged distinct (qid, term, qtf)

@@ -82,6 +82,36 @@ class Bm25EngineSpec extends AnyFunSuite {
     // a query with an out-of-vocabulary term can never phrase-match
     val oov = Seq((1L, "alpha beta nosuchterm")).toDF("qid", "text")
     assert(Bm25Search.searchPhrase(oov, index, docs, 10).count() == 0L)
+
+    // the DISTRIBUTED branch (over-cap batches: no driver compile, no
+    // broadcast hint on the verify join) returns identical rows
+    val multi = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"),
+      (3L, "gamma beta"), (4L, "zeta eta theta")).toDF("qid", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("doc_id"), col("rank"), col("score"))
+        .as[(Long, Long, Int, Double)].collect().toSet
+    val viaDriver = rows(Bm25Search.searchPhrase(multi, index, docs, 10))
+    val viaDistributed = rows(Bm25Search.searchPhraseImpl(
+      multi, index, docs, 10, graft.index.Bm25Params(), driverCap = 2))
+    assert(viaDriver == viaDistributed && viaDriver.nonEmpty)
+  }
+
+  test("phrase adjacency string encoding ≡ sliding-window equality (randomized)") {
+    // the verify stage encodes adjacency as separator-joined containment;
+    // tokens are [\p{L}\p{Nd}]+ runs so the separator cannot occur inside
+    // one — check the encoding against the naive sliding window over
+    // random token sequences from a tiny alphabet (maximizing collisions
+    // like "ab c" vs "a bc" that a separator-less concat would conflate)
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "b", "ab", "ba", "aa", "c1", "1c", "x")
+    def randToks(n: Int) = Vector.fill(n)(alphabet(rnd.nextInt(alphabet.size)))
+    def enc(ts: Seq[String]) = ts.mkString(" ", " ", " ")
+    for (_ <- 1 to 2000) {
+      val doc = randToks(1 + rnd.nextInt(12))
+      val pat = randToks(1 + rnd.nextInt(4))
+      val naive = doc.sliding(pat.size).contains(pat)
+      assert(enc(doc).contains(enc(pat)) == naive, s"doc=$doc pat=$pat")
+    }
   }
 
   test("WAND-pruned path ≡ full path (pruning is exact) and routing is non-trivial") {
