@@ -665,6 +665,18 @@ object SparkEntry {
 
     "media_frames" -> ((s, dir) => Media.sampleFrames(mediaAssets(s, dir))),
 
+    // REAL (non-stub) payload feature extraction: one-pass codegen'd byte
+    // histogram → shannon entropy + top-byte frequency, the corruption /
+    // encoding screen run before any decode
+    "media_byte_stats" -> ((s, dir) =>
+      Media.byteStatsDf(mediaAssets(s, dir))
+        .select(col("asset_id"), round(col("entropy"), 4).as("entropy"),
+          round(col("top_byte_freq"), 6).as("top_byte_freq"))),
+
+    // resize plumbing (stub kernel): source dims from the stub decode,
+    // target dims, exact scale factors, resized byte budget
+    "media_resize" -> ((s, dir) => Media.resizeStub(mediaAssets(s, dir))),
+
     // ---- training-data assembly (SURVEY §2 T5/J5/J9/A11) ----
     // batch-by-length + reverse permutation within 256-doc encoder chunks
     // (tokenization/utils.py:70-85, undo at checkpoint.py:156-175)
@@ -1574,6 +1586,45 @@ object SparkEntry {
          |FROM (SELECT asset_id, nb, n_frames,
          |             unnest(range(0, least(n_frames, 4))) AS f
          |      FROM m)""".stripMargin,
+
+    // payload is the UTF-8 bytes of `text` and the corpus is pure ASCII
+    // (verified: octet_length(encode(text)) == length(text) at every SF),
+    // so per-CHAR frequencies over text equal the engine's per-BYTE
+    // histogram; term association mirrors the engine exactly
+    // (p * (ln p / ln 2))
+    "media_byte_stats" ->
+      s"""WITH a AS (
+         |  SELECT doc_id AS asset_id, text FROM documents
+         |), ch AS (
+         |  SELECT asset_id, unnest(string_split(text, '')) AS c FROM a
+         |), cnt AS (
+         |  SELECT asset_id, c, count(*)::DOUBLE AS k FROM ch GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT asset_id, sum(k) AS n, max(k) AS mx FROM cnt GROUP BY 1
+         |), e AS (
+         |  SELECT c.asset_id,
+         |         -sum((k / t.n) * (ln(k / t.n) / ln(2))) AS entropy,
+         |         max(t.mx / t.n) AS top
+         |  FROM cnt c JOIN tot t USING (asset_id) GROUP BY 1
+         |)
+         |SELECT a.asset_id, round(coalesce(e.entropy, 0), 4) AS entropy,
+         |       round(coalesce(e.top, 0), 6) AS top_byte_freq
+         |FROM a LEFT JOIN e USING (asset_id)""".stripMargin,
+
+    "media_resize" ->
+      s"""WITH a AS (
+         |  SELECT doc_id AS asset_id, octet_length(encode(text))::BIGINT AS nb FROM documents
+         |), m AS (
+         |  SELECT asset_id, (nb % 640 + 16)::INT AS width,
+         |         ((nb * 31) % 480 + 16)::INT AS height
+         |  FROM a
+         |)
+         |SELECT asset_id, width, height,
+         |       224 AS target_w, 224 AS target_h,
+         |       round(224.0 / width, 6) AS scale_x,
+         |       round(224.0 / height, 6) AS scale_y,
+         |       (224 * 224 * 3)::BIGINT AS resized_n_bytes
+         |FROM m""".stripMargin,
 
     // within each 256-doc chunk: stable (dl asc, doc_id asc) sort, split
     // into 32-doc batches, restore_pos = the reverse permutation

@@ -58,6 +58,25 @@ object Media {
           .cast("long").as("byte_offset"))
   }
 
+  /** STUB RESIZE: the Spark-side plumbing of an image/frame resize —
+    * per asset, the source dims (from [[mediaMeta]]'s stub decode), the
+    * target dims, the exact scale factors a resampler would apply, and
+    * the resized payload's byte budget (target_w·target_h·3, the RGB
+    * plane a real kernel would emit). The pixel kernel itself is the
+    * stubbed step (no image libs in this environment); swapping in a
+    * real one replaces the byte-budget column with the actual resized
+    * bytes and changes nothing else in the plan — a narrow map-phase
+    * projection at any scale. */
+  def resizeStub(assets: DataFrame, targetW: Int = 224, targetH: Int = 224,
+                 payload: String = "payload"): DataFrame =
+    mediaMeta(assets, payload).select(
+      col("asset_id"),
+      col("width"), col("height"),
+      lit(targetW).as("target_w"), lit(targetH).as("target_h"),
+      round(lit(targetW).cast("double") / col("width"), 6).as("scale_x"),
+      round(lit(targetH).cast("double") / col("height"), 6).as("scale_y"),
+      lit(targetW.toLong * targetH * 3).as("resized_n_bytes"))
+
   /** Byte histogram features (REAL, not stubbed): shannon entropy and
     * top-byte frequency over the payload — the cheap corruption/encoding
     * screen a media pipeline runs before decode. Custom codegen'd
