@@ -241,6 +241,48 @@ class Bm25EngineSpec extends AnyFunSuite {
       rows(Bm25Search.compileQueries(dup, index.termStats)))
   }
 
+  test("randomized corpora: phrase ≡ naive sliding-window oracle across seeds") {
+    import graft.analysis.Tokenizer
+    // phrase queries lifted from random doc positions (guaranteed in-vocab
+    // and mostly matching); expected = docs whose truncated token array
+    // contains the phrase consecutively, ranked by the exhaustive
+    // OracleBm25 scores — exact == on scores (the engine's phrase score
+    // IS its full BM25 sum, bit-stable vs the oracle)
+    (1 to 3).foreach { seed =>
+      val pages = Synthesizer.pages(spark, 120, 3, seed = seed.toLong * 500 + 3)
+      val ids = Synthesizer.withDocIds(pages).select(col("doc_id"), col("text"))
+      val local = ids.as[(Long, String)].collect().toSeq.sortBy(_._1)
+      val rnd = new scala.util.Random(seed)
+      val phrases = (0 until 8).flatMap { qi =>
+        val (_, text) = local(rnd.nextInt(local.size))
+        val ts = Tokenizer.tokenize(text, Tokenizer.DocMaxTerms)
+        if (ts.length < 4) None
+        else {
+          val j = rnd.nextInt(ts.length - 3)
+          Some((qi.toLong, ts.slice(j, j + 3).mkString(" ")))
+        }
+      }
+      val index = Bm25IndexTables.fromDocs(ids)
+      val got = collectRanking(Bm25Search.searchPhrase(
+        phrases.toDF("qid", "text"), index, ids, K))
+      val fullRanked = OracleBm25.topK(local, phrases, local.size)
+      phrases.foreach { case (qid, ptext) =>
+        val pt = Tokenizer.tokenize(ptext, Tokenizer.QueryMaxTerms).toSeq
+        val adjacent = local.filter { case (_, t) =>
+          Tokenizer.tokenize(t, Tokenizer.DocMaxTerms).toSeq
+            .sliding(pt.size).contains(pt)
+        }.map(_._1).toSet
+        val want = fullRanked.getOrElse(qid, Seq.empty)
+          .filter(r => adjacent(r._1))
+          .sortBy(r => (-r._3, r._1))
+          .take(K).zipWithIndex
+          .map { case ((d, _, s), i) => (d, i + 1, s) }
+        assert(got.getOrElse(qid, Seq.empty) == want,
+          s"seed=$seed qid=$qid phrase='$ptext'")
+      }
+    }
+  }
+
   test("randomized corpora: WAND ≡ full across 5 seeds (pruning never drops a top-k doc)") {
     // blockSpan 8 over 150 docs → ~19 blocks, so the router genuinely
     // splits sparse-term queries onto the WAND path per corpus
