@@ -287,17 +287,22 @@ object Dedup {
   def neardupClustersFromPairs(pairs0: DataFrame, docs: DataFrame): DataFrame = {
     val pairs = pairs0.select(col("doc_a"), col("doc_b"))
     val comp = connectedComponents(pairs)
-    val withLen = comp.join(
-      docs.select(col("doc_id").as("id"),
-        size(Tokenizer.tokenizeDoc(col("text"))).as("n_tokens")), "id")
-    val keepers = withLen.groupBy(col("lbl"))
-      .agg(count(lit(1)).as("cluster_size"),
-        min(struct((-col("n_tokens")).as("neg_len"), col("id").as("kid"))).as("best"))
-      .select(col("lbl"), col("cluster_size"), col("best.kid").as("keeper_id"))
-    withLen.select(col("id").as("doc_id"), col("lbl"))
-      .join(keepers, "lbl")
-      .select(col("doc_id"), col("lbl").as("cluster_id"),
-        col("cluster_size"), col("keeper_id"))
+    // tokenize ABOVE the membership join — only cluster MEMBERS pay the
+    // token count (the previous shape put the tokenize in the join's
+    // corpus-side projection, a full-corpus tokenize; Catalyst never
+    // defers a projection past a join) — and ONE window pass over lbl
+    // replaces the groupBy + rejoin that referenced (and re-executed)
+    // the membership join twice. Clusters are bounded row groups, so the
+    // window partition is skew-safe.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lbl"))
+    comp
+      .join(docs.select(col("doc_id").as("id"), col("text")), "id")
+      .withColumn("n_tokens", size(Tokenizer.tokenizeDoc(col("text"))))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("best",
+        min(struct((-col("n_tokens")).as("neg_len"), col("id").as("kid"))).over(w))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_size"), col("best.kid").as("keeper_id"))
   }
 
   /** Benchmark decontamination — the standard LLM training-data hygiene
