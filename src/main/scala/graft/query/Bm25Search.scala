@@ -360,19 +360,26 @@ object Bm25Search {
     val ranking = precomputedRanking.getOrElse(searchFull(queries, index, k, p))
       .select(col("qid"), col("doc_id"), col("rank"))
     val qterms = compileQueries(queries, index.termStats)
-    val topDocs = ranking.join(docsText.select(col("doc_id"), col("text")), "doc_id")
+    // stream the corpus through ONE broadcast probe of the (top-k-bounded)
+    // ranking — the text projection carries no expression, so column
+    // pruning reaches the scan; the tokenize runs ABOVE the join, on
+    // result docs only
+    val topDocs = docsText.select(col("doc_id"), col("text"))
+      .join(broadcast(ranking), "doc_id")
 
     // re-tokenizing the ≤ k·|queries| result docs is cheaper than carrying
-    // per-doc dl through the ranking; identical by construction
-    val dl = topDocs.select(col("doc_id"), col("text")).distinct()
-      .select(col("doc_id"), size(Tokenizer.tokenizeDoc(col("text"))).as("dl"))
-
+    // per-doc dl through the ranking; identical by construction. dl rides
+    // the SAME exploded pass as the spans (max token pos + 1 per doc, a
+    // window over the bounded result-token table) — a separate dl frame
+    // would re-execute the corpus probe a second time.
     val toks = topDocs.select(
       col("qid"), col("doc_id"), col("rank"),
       posexplode(Tokenizer.tokenize_with_offsets(col("text"), Tokenizer.DocMaxTerms)))
       .select(col("qid"), col("doc_id"), col("rank"),
         col("pos"), col("col.term").as("term"),
         col("col.start").as("start"), col("col.end").as("end"))
+      .withColumn("dl",
+        (max(col("pos")).over(Window.partitionBy(col("doc_id"))) + 1).cast("int"))
 
     toks
       .join(broadcast(qterms.select(col("qid"), col("term"), col("qtf"), col("idf"))),
@@ -382,8 +389,8 @@ object Bm25Search {
         count(lit(1)).cast("int").as("tf"),
         min(struct(col("pos"), col("start"), col("end"))).as("fst"),
         first(col("qtf")).as("qtf"),
-        first(col("idf")).as("idf"))
-      .join(dl, "doc_id")
+        first(col("idf")).as("idf"),
+        first(col("dl")).as("dl"))
       .crossJoin(broadcast(index.corpusStats.select(col("avgdl"))))
       .select(
         col("qid"), col("doc_id"), col("rank"), col("term"),

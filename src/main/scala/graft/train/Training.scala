@@ -94,9 +94,13 @@ object Training {
   def assembleBatch(triples: DataFrame, queries: DataFrame, docs: DataFrame): DataFrame = {
     val withQuery = triples
       .join(broadcast(queries.select(col("qid"), md5(col("text")).as("query_md5"))), "qid")
-    docs.select(col("doc_id"), md5(col("text")).as("text_md5"))
+    // md5 ABOVE the join: hashing in the corpus-side projection would
+    // digest every doc per batch (Catalyst never defers a projection
+    // past a join); here only the matched batch docs are hashed
+    docs.select(col("doc_id"), col("text"))
       .join(broadcast(withQuery), "doc_id")
-      .select(col("qid"), col("way"), col("doc_id"), col("query_md5"), col("text_md5"))
+      .select(col("qid"), col("way"), col("doc_id"), col("query_md5"),
+        md5(col("text")).as("text_md5"))
   }
 
   /** In-batch-negative score matrix (SURVEY §2.4 J9; reference
