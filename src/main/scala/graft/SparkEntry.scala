@@ -695,13 +695,17 @@ object SparkEntry {
 
     // per-query loss reductions: nway CE + teacher→student KL distillation
     // + in-batch CE (training.py:159-196; teacher = full-BM25 ranking
-    // scores, student = flipr top-2-term scores)
+    // scores, student = flipr top-2-term scores). Final values go through
+    // ExactMath.snap4 (floor-based, engine-exact), NOT round(…, 4): the
+    // loss doubles are bit-identical across engines by construction, and
+    // the snap must not reintroduce an engine-dependent half-up path
     "train_losses" -> ((s, dir) => {
+      import graft.train.ExactMath.snap4Sql
       Training.losses(nwayScoresFor(s, dir), ibScoresFor(s, dir))
         .select(col("qid"),
-          round(col("ce_nway"), 4).as("ce_nway"),
-          round(col("kl_distill"), 4).as("kl_distill"),
-          round(col("ib_ce"), 4).as("ib_ce"))
+          expr(snap4Sql("ce_nway")).as("ce_nway"),
+          expr(snap4Sql("kl_distill")).as("kl_distill"),
+          expr(snap4Sql("ib_ce")).as("ib_ce"))
     })
   )
 
@@ -1657,7 +1661,12 @@ object SparkEntry {
       s"""$TriplesCte, $IbRowsCte
          |SELECT qid, doc_id, round(score, 4) AS score, label FROM ibr""".stripMargin,
 
-    "train_losses" ->
+    "train_losses" -> {
+      // exact-arithmetic exp/ln (graft.train.ExactMath): the SAME
+      // generated polynomial text Training.losses evaluates — IEEE-exact
+      // +,−,×,÷ only, so both engines produce bit-identical doubles and
+      // the final snap (floor-based, itself engine-exact) cannot flip
+      import graft.train.ExactMath._
       s"""$TriplesCte, fpart AS (
          |  SELECT qid, doc_id, partial,
          |         row_number() OVER (PARTITION BY qid, doc_id ORDER BY partial DESC) AS pr
@@ -1672,36 +1681,74 @@ object SparkEntry {
          |         list(ss ORDER BY way) AS sss, list(ts ORDER BY way) AS tss,
          |         first(ss ORDER BY way) AS s_pos
          |  FROM nws GROUP BY 1
-         |), nz AS (
-         |  -- every exp/ln output rounded to the same 8-decimal grid the
-         |  -- engine uses (Training.losses): libm ulp differences must not
-         |  -- reach the final round(…, 4)
-         |  SELECT qid, m_s, m_t, s_pos, sss, tss,
-         |    list_reduce([round(exp(x - m_s), 8) for x in sss], (a, b) -> a + b) AS zs,
-         |    list_reduce([round(exp(x - m_t), 8) for x in tss], (a, b) -> a + b) AS zt
+         |), nh AS (
+         |  SELECT *, [${expReduceSql("x - m_s")} for x in sss] AS ess,
+         |            [${expReduceSql("x - m_t")} for x in tss] AS ets
          |  FROM nagg
-         |), nlz AS (
-         |  SELECT qid, m_s, m_t, s_pos, sss, tss, zs, zt,
-         |         round(ln(zs), 8) AS lzs, round(ln(zt), 8) AS lzt
-         |  FROM nz
+         |), nc AS (
+         |  SELECT * REPLACE ([${expCoreSql("h")} for h in ess] AS ess,
+         |                    [${expCoreSql("h")} for h in ets] AS ets) FROM nh
+         |), ns1 AS (
+         |  SELECT * REPLACE ([${pow4Sql("p")} for p in ess] AS ess,
+         |                    [${pow4Sql("p")} for p in ets] AS ets) FROM nc
+         |), ns2 AS (
+         |  SELECT * REPLACE ([${pow4Sql("p")} for p in ess] AS ess,
+         |                    [${pow4Sql("p")} for p in ets] AS ets) FROM ns1
+         |), ns3 AS (
+         |  SELECT * REPLACE ([${pow4Sql("p")} for p in ess] AS ess,
+         |                    [${pow4Sql("p")} for p in ets] AS ets) FROM ns2
+         |), nz AS (
+         |  SELECT *, list_reduce(ess, (a, b) -> a + b) AS zs,
+         |            list_reduce(ets, (a, b) -> a + b) AS zt FROM ns3
+         |), nk AS (
+         |  SELECT *, ${lnKSql("zs")} AS k_zs, ${lnMSql("zs")} AS mm_zs,
+         |            ${lnKSql("zt")} AS k_zt, ${lnMSql("zt")} AS mm_zt FROM nz
+         |), nw AS (
+         |  SELECT *, (mm_zs - 1)/(mm_zs + 1) AS w_zs,
+         |            (mm_zt - 1)/(mm_zt + 1) AS w_zt FROM nk
+         |), nu AS (
+         |  SELECT *, w_zs*w_zs AS u_zs, w_zt*w_zt AS u_zt FROM nw
+         |), nl AS (
+         |  SELECT *, ${lnAssembleSql("k_zs", "w_zs", "u_zs")} AS lzs,
+         |            ${lnAssembleSql("k_zt", "w_zt", "u_zt")} AS lzt FROM nu
          |), nloss AS (
          |  SELECT qid, -(s_pos - m_s - lzs) AS ce_nway,
-         |    list_reduce([round(exp(p[2] - m_t), 8) / zt * ((p[2] - m_t - lzt) - (p[1] - m_s - lzs))
-         |                 for p in list_zip(sss, tss)], (a, b) -> a + b) AS kl_distill
-         |  FROM nlz
+         |    list_reduce([p[1] / zt * ((p[3] - m_t - lzt) - (p[2] - m_s - lzs))
+         |                 for p in list_zip(ets, sss, tss)], (a, b) -> a + b) AS kl_distill
+         |  FROM nl
          |), $IbRowsCte, iagg AS (
-         |  SELECT qid, max(round(score, 4)) AS m,
+         |  SELECT qid, max(round(score, 4)) AS m_i,
          |         list(round(score, 4) ORDER BY doc_id) AS xs,
-         |         max(CASE WHEN label = 1 THEN round(score, 4) END) AS s_pos
+         |         max(CASE WHEN label = 1 THEN round(score, 4) END) AS si_pos
          |  FROM ibr GROUP BY 1
+         |), ih AS (
+         |  SELECT *, [${expReduceSql("x - m_i")} for x in xs] AS eis FROM iagg
+         |), ic AS (
+         |  SELECT * REPLACE ([${expCoreSql("h")} for h in eis] AS eis) FROM ih
+         |), is1 AS (
+         |  SELECT * REPLACE ([${pow4Sql("p")} for p in eis] AS eis) FROM ic
+         |), is2 AS (
+         |  SELECT * REPLACE ([${pow4Sql("p")} for p in eis] AS eis) FROM is1
+         |), is3 AS (
+         |  SELECT * REPLACE ([${pow4Sql("p")} for p in eis] AS eis) FROM is2
+         |), iz AS (
+         |  SELECT *, list_reduce(eis, (a, b) -> a + b) AS z_i FROM is3
+         |), ik AS (
+         |  SELECT *, ${lnKSql("z_i")} AS k_zi, ${lnMSql("z_i")} AS mm_zi FROM iz
+         |), iw AS (
+         |  SELECT *, (mm_zi - 1)/(mm_zi + 1) AS w_zi FROM ik
+         |), iu AS (
+         |  SELECT *, w_zi*w_zi AS u_zi FROM iw
+         |), il AS (
+         |  SELECT *, ${lnAssembleSql("k_zi", "w_zi", "u_zi")} AS lz_i FROM iu
          |), iloss AS (
-         |  SELECT qid,
-         |         -(s_pos - m - round(ln(list_reduce([round(exp(x - m), 8) for x in xs], (a, b) -> a + b)), 8)) AS ib_ce
-         |  FROM iagg
+         |  SELECT qid, -(si_pos - m_i - lz_i) AS ib_ce FROM il
          |)
-         |SELECT n.qid, round(n.ce_nway, 4) AS ce_nway,
-         |       round(n.kl_distill, 4) AS kl_distill, round(i.ib_ce, 4) AS ib_ce
+         |SELECT n.qid, ${snap4Sql("n.ce_nway")} AS ce_nway,
+         |       ${snap4Sql("n.kl_distill")} AS kl_distill,
+         |       ${snap4Sql("i.ib_ce")} AS ib_ce
          |FROM nloss n JOIN iloss i ON i.qid = n.qid""".stripMargin
+    }
   )
 
   /** Shared IVF CTE — the data-driven quantizer (k = ⌈√N⌉ sampled seeds +

@@ -183,21 +183,21 @@ object Training {
     *    (compute_ib_loss, colbert.py:71-87).
     *
     * All softmaxes are max-shifted; score inputs are pre-rounded to 4
-    * decimals so both engines of the correctness gate exponentiate
+    * decimals so both engines of the correctness gate start from
     * IDENTICAL doubles; folds run in canonical order (way asc / doc_id
-    * asc) so the sums are layout-stable. Every TRANSCENDENTAL output
-    * (`exp`, `ln`) is itself rounded to an 8-decimal grid before any
-    * reuse: JVM libm and DuckDB libm differ in the last ulp, and an
-    * unrounded ulp can flip the final `round(…, 4)` whenever a loss
-    * lands within ~1e-13 of a 0.00005 boundary. With the grid, both
-    * engines fold matching doubles through IEEE-exact +/-/×/÷ only —
-    * a cross-engine flip now needs the TRUE exp/ln value itself to sit
-    * within ~1 ulp of a 0.5e-8 grid boundary (measure ~1e-8 per cell,
-    * vs the ~1e-4-scale exposure of rounding the accumulated sums
-    * alone; probed empirically at 0/400k disagreements).
+    * asc) so the sums are layout-stable. Every TRANSCENDENTAL is
+    * evaluated through [[ExactMath]] — fixed-order Horner polynomials
+    * built from IEEE-exact +,−,×,÷ only, identical SQL text on both
+    * engines of the gate — because libm `exp`/`ln` differ across engines
+    * in the last ulp and no output grid can absorb that (`round(double,
+    * n)` is itself engine-dependent at half-way points; see ExactMath's
+    * scaladoc for the two rounds of failure evidence). With the
+    * polynomial path, the loss doubles are bit-identical by construction
+    * on any IEEE-754-conforming engine.
     *
     * `nway`: (qid, way, teacher, student); `ib`: [[inBatchScores]] rows. */
   def losses(nway: DataFrame, ib: DataFrame): DataFrame = {
+    import ExactMath._
     // ONE tagged union + ONE groupBy(qid) replaces the previous per-side
     // groupBys + join: per-qid inputs are (nway + batch)-bounded, so the
     // loss reduction is naturally a single shuffle — the three-stage plan
@@ -235,19 +235,52 @@ object Training {
         expr("transform(ys, y -> y.s)").as("iss"))
       .withColumn("m_s", expr("array_max(ss)"))
       .withColumn("m_t", expr("array_max(ts)"))
-      .withColumn("zs", expr("aggregate(ss, 0d, (a, x) -> a + round(exp(x - m_s), 8))"))
-      .withColumn("zt", expr("aggregate(ts, 0d, (a, x) -> a + round(exp(x - m_t), 8))"))
       .withColumn("m_i", expr("array_max(iss)"))
-      .withColumn("z_i", expr("aggregate(iss, 0d, (a, x) -> a + round(exp(x - m_i), 8))"))
-      .withColumn("lzs", round(log(col("zs")), 8))
-      .withColumn("lzt", round(log(col("zt")), 8))
-      .withColumn("lz_i", round(log(col("z_i")), 8))
+      // exact-exp chain (ExactMath): clamp+scale → Horner core → 3 (p²)²
+      // stages. Chained transforms, not one inlined expression: inlining
+      // the composition would duplicate the polynomial 64× per element.
+      .withColumn("ess", expr(s"transform(ss, x -> ${expReduceSql("x - m_s")})"))
+      .withColumn("ets", expr(s"transform(ts, x -> ${expReduceSql("x - m_t")})"))
+      .withColumn("eis", expr(s"transform(iss, x -> ${expReduceSql("x - m_i")})"))
+      .withColumn("ess", expr(s"transform(ess, h -> ${expCoreSql("h")})"))
+      .withColumn("ets", expr(s"transform(ets, h -> ${expCoreSql("h")})"))
+      .withColumn("eis", expr(s"transform(eis, h -> ${expCoreSql("h")})"))
+      .withColumn("ess", expr(s"transform(ess, p -> ${pow4Sql("p")})"))
+      .withColumn("ets", expr(s"transform(ets, p -> ${pow4Sql("p")})"))
+      .withColumn("eis", expr(s"transform(eis, p -> ${pow4Sql("p")})"))
+      .withColumn("ess", expr(s"transform(ess, p -> ${pow4Sql("p")})"))
+      .withColumn("ets", expr(s"transform(ets, p -> ${pow4Sql("p")})"))
+      .withColumn("eis", expr(s"transform(eis, p -> ${pow4Sql("p")})"))
+      .withColumn("ess", expr(s"transform(ess, p -> ${pow4Sql("p")})"))
+      .withColumn("ets", expr(s"transform(ets, p -> ${pow4Sql("p")})"))
+      .withColumn("eis", expr(s"transform(eis, p -> ${pow4Sql("p")})"))
+      .withColumn("zs", expr("aggregate(ess, 0d, (a, x) -> a + x)"))
+      .withColumn("zt", expr("aggregate(ets, 0d, (a, x) -> a + x)"))
+      .withColumn("z_i", expr("aggregate(eis, 0d, (a, x) -> a + x)"))
+      // exact-ln chain: power-of-two normalize → atanh series
+      .withColumn("k_zs", expr(lnKSql("zs")))
+      .withColumn("mm_zs", expr(lnMSql("zs")))
+      .withColumn("k_zt", expr(lnKSql("zt")))
+      .withColumn("mm_zt", expr(lnMSql("zt")))
+      .withColumn("k_zi", expr(lnKSql("z_i")))
+      .withColumn("mm_zi", expr(lnMSql("z_i")))
+      .withColumn("w_zs", expr("(mm_zs - 1)/(mm_zs + 1)"))
+      .withColumn("w_zt", expr("(mm_zt - 1)/(mm_zt + 1)"))
+      .withColumn("w_zi", expr("(mm_zi - 1)/(mm_zi + 1)"))
+      .withColumn("u_zs", expr("w_zs*w_zs"))
+      .withColumn("u_zt", expr("w_zt*w_zt"))
+      .withColumn("u_zi", expr("w_zi*w_zi"))
+      .withColumn("lzs", expr(lnAssembleSql("k_zs", "w_zs", "u_zs")))
+      .withColumn("lzt", expr(lnAssembleSql("k_zt", "w_zt", "u_zt")))
+      .withColumn("lz_i", expr(lnAssembleSql("k_zi", "w_zi", "u_zi")))
       .select(col("qid"),
         (-(col("s_pos") - col("m_s") - col("lzs"))).as("ce_nway"),
+        // softmax weights reuse the SAME ets elements that summed to zt,
+        // indexed positionally (arrays are way-aligned by construction)
         expr("""aggregate(
-                  zip_with(ss, ts, (sv, tv) ->
-                    round(exp(tv - m_t), 8) / zt *
-                      ((tv - m_t - lzt) - (sv - m_s - lzs))),
+                  transform(ss, (sv, i) ->
+                    ets[i] / zt *
+                      ((ts[i] - m_t - lzt) - (sv - m_s - lzs))),
                   0d, (a, x) -> a + x)""").as("kl_distill"),
         (-(col("si_pos") - col("m_i") - col("lz_i"))).as("ib_ce"))
   }

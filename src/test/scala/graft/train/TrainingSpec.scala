@@ -91,50 +91,93 @@ class TrainingSpec extends AnyFunSuite {
     def softCe(pos: Double, all: Seq[Double]): Double = {
       val m = all.max; -(pos - m - math.log(all.map(x => math.exp(x - m)).sum))
     }
-    // 1e-7 tolerance: the engine rounds every exp/ln output to an
-    // 8-decimal grid (cross-engine hash stability), so losses sit within
-    // ~n·1e-8 of the exact-math value
-    assert(math.abs(out(1L)._1 - softCe(3.0, Seq(3.0, 1.0))) < 1e-7)
+    // 1e-9 tolerance: the engine evaluates exp/ln as ExactMath's fixed
+    // polynomials (~1e-14 of true libm), so losses track exact math
+    assert(math.abs(out(1L)._1 - softCe(3.0, Seq(3.0, 1.0))) < 1e-9)
     assert(math.abs(out(1L)._2) < 1e-12) // teacher == student → KL = 0 exactly
     assert(out(2L)._2 > 0.0)             // diverging student → positive KL
-    assert(math.abs(out(2L)._3 - softCe(2.0, Seq(2.0, 2.0))) < 1e-7)
+    assert(math.abs(out(2L)._3 - softCe(2.0, Seq(2.0, 2.0))) < 1e-9)
     // CE with equal pos/neg scores = ln 2
-    assert(math.abs(out(2L)._3 - math.log(2.0)) < 1e-7)
+    assert(math.abs(out(2L)._3 - math.log(2.0)) < 1e-9)
   }
 
-  /** The cross-engine stability contract (VERDICT r3 #1): every
-    * transcendental output is rounded to an 8-decimal grid, so ANY engine
-    * implementing the spec folds bit-identical doubles through IEEE-exact
-    * +,−,×,÷ only. Verified by replicating the spec'd arithmetic on the
-    * driver and requiring BIT equality (==, no tolerance) — including for
-    * inputs tuned so the loss lands essentially ON a …00005 boundary of
-    * the final round(…, 4), where a single unrounded libm ulp used to
-    * flip the 4th decimal. */
-  test("losses are bit-stable on a …00005 rounding boundary") {
-    def grid8(x: Double): Double =
-      BigDecimal.valueOf(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // spec'd ib_ce for scores (a rounded to 4, label on a) vs 0.0:
-    // m = max(a, 0); z = Σ round8(exp(x − m)); loss = −(a − m − round8(ln z))
-    def ibCe(a0: Double): Double = {
-      val a = BigDecimal.valueOf(a0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  /** Driver-side replication of the loss contract's arithmetic, term for
+    * term in the spec'd order (ExactMath polynomials, canonical folds) —
+    * the cross-engine stability evidence: any IEEE-754 engine executing
+    * the generated SQL produces EXACTLY these doubles. */
+  private def replicate(nway: Seq[(Long, Int, Double, Double)],
+                        ib: Seq[(Long, Long, Double, Int)]): Map[Long, (Double, Double, Double)] = {
+    import ExactMath._
+    val byQ = nway.groupBy(_._1)
+    val ibByQ = ib.groupBy(_._1)
+    (byQ.keySet intersect ibByQ.keySet).map { q =>
+      val rows = byQ(q).sortBy(_._2) // way asc — the engine's sort_array order
+      val ts = rows.map(_._3)
+      val ss = rows.map(_._4)
+      val mS = ss.max; val mT = ts.max
+      val ets = ts.map(x => expExact(x - mT))
+      val zs = ss.map(x => expExact(x - mS)).foldLeft(0.0)(_ + _)
+      val zt = ets.foldLeft(0.0)(_ + _)
+      val lzs = lnExact(zs); val lzt = lnExact(zt)
+      val ce = -(ss.head - mS - lzs)
+      val kl = ss.indices.foldLeft(0.0) { (a, i) =>
+        a + ets(i) / zt * ((ts(i) - mT - lzt) - (ss(i) - mS - lzs))
+      }
+      val ibRows = ibByQ(q).sortBy(_._2) // doc_id asc
+      val xs = ibRows.map(_._3)
+      val mI = xs.max
+      val zi = xs.map(x => expExact(x - mI)).foldLeft(0.0)(_ + _)
+      val siPos = ibRows.collect { case (_, _, sc, 1) => sc }.max
+      val ibCe = -(siPos - mI - lnExact(zi))
+      q -> ((ce, kl, ibCe))
+    }.toMap
+  }
+
+  /** The cross-engine stability contract (VERDICT r4 #1): every
+    * transcendental is a fixed-order polynomial over IEEE-exact +,−,×,÷
+    * (ExactMath), identical SQL text on both gate engines. Verified by
+    * replicating the arithmetic on the driver term-for-term and requiring
+    * BIT equality (==, no tolerance) — including for inputs tuned so the
+    * loss lands essentially ON a …00005 boundary of the final 4-decimal
+    * snap, where a single libm ulp used to flip the 4th decimal. */
+  test("losses equal the ExactMath replication bit-for-bit") {
+    import ExactMath._
+    // spec'd ib_ce for scores (a, label) vs 0.0 — used only to FIND an
+    // adversarial input; the assertion below goes through replicate()
+    def ibCe(a: Double): Double = {
       val m = math.max(a, 0.0)
-      val z = grid8(math.exp(a - m)) + grid8(math.exp(0.0 - m))
-      -(a - m - grid8(math.log(z)))
+      -(a - m - lnExact(expExact(a - m) + expExact(0.0 - m)))
     }
     // scan the 4-decimal input grid for the loss closest to a 0.00005
-    // boundary — the adversarial case for the final round(…, 4)
+    // boundary — the adversarial case for the final snap4
     val aStar = (1 to 30000).map(_ / 10000.0)
       .minBy { a => val f = ibCe(a) * 10000.0; math.abs(f - math.floor(f) - 0.5) }
     val frac = { val f = ibCe(aStar) * 10000.0; math.abs(f - math.floor(f) - 0.5) }
     assert(frac < 1e-3, s"scan failed to land near a boundary: a=$aStar frac=$frac")
-    val nway = Seq((1L, 0, aStar, aStar), (1L, 1, 0.0, 0.0))
-      .toDF("qid", "way", "teacher", "student")
-    val ib = Seq((1L, 0L, aStar, 1), (1L, 5L, 0.0, 0)).toDF("qid", "doc_id", "score", "label")
-    val out = Training.losses(nway, ib).select(col("ib_ce"), col("ce_nway")).head
-    // bit equality, not tolerance: the engine must produce EXACTLY the
-    // spec'd double, or two engines will disagree after round(…, 4)
-    assert(out.getDouble(0) == ibCe(aStar), s"ib_ce a=$aStar")
-    assert(out.getDouble(1) == ibCe(aStar), s"ce_nway a=$aStar (same formula here)")
+    val nwayRows = Seq(
+      (1L, 0, aStar, aStar), (1L, 1, 0.0, 0.0),
+      (2L, 0, 5.1234, 4.0001), (2L, 1, 3.2, 4.5), (2L, 2, 0.07, 0.07),
+      (3L, 0, 2.5, 2.5)) // single-way qid: zs = 1 exactly, ln 1 = 0
+    val ibRows = Seq(
+      (1L, 0L, aStar, 1), (1L, 5L, 0.0, 0),
+      (2L, 1L, 5.1234, 1), (2L, 5L, 2.75, 0), (2L, 9L, 0.0, 0),
+      (3L, 2L, 2.5, 1), (3L, 3L, 2.4999, 0))
+    val out = Training.losses(
+      nwayRows.toDF("qid", "way", "teacher", "student"),
+      ibRows.toDF("qid", "doc_id", "score", "label"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val exp = replicate(nwayRows, ibRows)
+    assert(out.keySet == exp.keySet)
+    for ((q, (ce, kl, ib)) <- exp) {
+      // bit equality, not tolerance: the engine must produce EXACTLY the
+      // spec'd double, or two engines could disagree after the snap
+      assert(out(q)._1 == ce, s"ce_nway qid=$q")
+      assert(out(q)._2 == kl, s"kl_distill qid=$q")
+      assert(out(q)._3 == ib, s"ib_ce qid=$q")
+    }
+    // the adversarial qid really sits on the knife edge AND snaps stably
+    assert(snap4(out(1L)._3) == snap4(exp(1L)._3))
   }
 
   test("lengthBatches is identical across parallelism levels") {
