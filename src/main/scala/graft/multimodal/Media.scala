@@ -3,11 +3,11 @@ package graft.multimodal
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.GraftShim
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
 
 /** Multimodal-column plumbing: treat image/audio/video payloads as opaque
   * `binary` columns with typed metadata, and make the Spark-side contract
@@ -58,24 +58,39 @@ object Media {
           .cast("long").as("byte_offset"))
   }
 
-  /** STUB RESIZE: the Spark-side plumbing of an image/frame resize —
-    * per asset, the source dims (from [[mediaMeta]]'s stub decode), the
-    * target dims, the exact scale factors a resampler would apply, and
-    * the resized payload's byte budget (target_w·target_h·3, the RGB
-    * plane a real kernel would emit). The pixel kernel itself is the
-    * stubbed step (no image libs in this environment); swapping in a
-    * real one replaces the byte-budget column with the actual resized
-    * bytes and changes nothing else in the plan — a narrow map-phase
-    * projection at any scale. */
-  def resizeStub(assets: DataFrame, targetW: Int = 224, targetH: Int = 224,
-                 payload: String = "payload"): DataFrame =
-    mediaMeta(assets, payload).select(
+  /** REAL RESIZE KERNEL: nearest-neighbor resample of each asset's pixel
+    * plane to (targetW × targetH), as a one-pass codegen'd expression —
+    * the map-phase shape a real image-resize stage has at any scale
+    * (narrow projection, no shuffle, partitioned upstream by asset size).
+    *
+    * Only the DECODE remains synthetic (no image codecs ship in this
+    * environment): the source plane is the payload bytes read row-major
+    * at the [[mediaMeta]] stub dims, wrapping when the payload is
+    * shorter than width·height — a deterministic single-channel image
+    * the oracle reproduces independently. The resample arithmetic
+    * (`src_row = ⌊r·h/th⌋`, `src_col = ⌊c·w/tw⌋`) is exactly what a real
+    * kernel applies per channel; swapping in a real decoder changes the
+    * plane construction, none of the resample or the plan. */
+  def resize(assets: DataFrame, targetW: Int = 224, targetH: Int = 224,
+             payload: String = "payload"): DataFrame = {
+    val nb = length(col(payload)).cast("long")
+    val w = (nb % 640 + 16).cast("int")
+    val h = ((nb * 31) % 480 + 16).cast("int")
+    assets.select(
       col("asset_id"),
-      col("width"), col("height"),
+      w.as("width"), h.as("height"),
       lit(targetW).as("target_w"), lit(targetH).as("target_h"),
-      round(lit(targetW).cast("double") / col("width"), 6).as("scale_x"),
-      round(lit(targetH).cast("double") / col("height"), 6).as("scale_y"),
-      lit(targetW.toLong * targetH * 3).as("resized_n_bytes"))
+      round(lit(targetW).cast("double") / w, 6).as("scale_x"),
+      round(lit(targetH).cast("double") / h, 6).as("scale_y"),
+      resized(col(payload), w, h, targetW, targetH).as("resized"))
+  }
+
+  /** The resample column itself: binary in, (targetW·targetH)-byte
+    * single-channel plane out. */
+  def resized(payload: Column, srcW: Column, srcH: Column,
+              targetW: Int, targetH: Int): Column =
+    GraftShim.column(ResizeExpr(GraftShim.expression(payload),
+      GraftShim.expression(srcW), GraftShim.expression(srcH), targetW, targetH))
 
   /** Byte histogram features (REAL, not stubbed): shannon entropy and
     * top-byte frequency over the payload — the cheap corruption/encoding
@@ -88,6 +103,53 @@ object Media {
       col("asset_id"),
       byteStats(col(payload)).getItem(0).as("entropy"),
       byteStats(col(payload)).getItem(1).as("top_byte_freq"))
+}
+
+/** (payload binary, src_w, src_h) → binary of targetW·targetH bytes:
+  * nearest-neighbor resample of the payload read as a row-major
+  * src_w×src_h single-channel plane (wrapping modulo payload length —
+  * the synthetic stand-in for a decoded frame). Codegen'd: one JVM call
+  * per row inside WholeStageCodegen, no UDF boundary. */
+case class ResizeExpr(payload: Expression, srcW: Expression, srcH: Expression,
+                      targetW: Int, targetH: Int) extends TernaryExpression {
+  require(targetW > 0 && targetH > 0, s"bad target dims $targetW x $targetH")
+  override def first: Expression = payload
+  override def second: Expression = srcW
+  override def third: Expression = srcH
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "media_resize"
+  override def nullSafeEval(p: Any, w: Any, h: Any): Any =
+    ResizeExpr.resizeEval(p.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], h.asInstanceOf[Int], targetW, targetH)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, w, h) =>
+      s"graft.multimodal.ResizeExpr.resizeEval($p, $w, $h, $targetW, $targetH)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): ResizeExpr =
+    copy(payload = newFirst, srcW = newSecond, srcH = newThird)
+}
+
+object ResizeExpr {
+  def resizeEval(payload: Array[Byte], w: Int, h: Int, tw: Int, th: Int): Array[Byte] = {
+    val out = new Array[Byte](tw * th)
+    if (payload.length == 0 || w <= 0 || h <= 0) return out
+    val n = payload.length
+    var r = 0
+    while (r < th) {
+      // long intermediates: w·h can exceed Int.MaxValue for a real 4K frame
+      val srcRowBase = (r.toLong * h / th) * w
+      val outBase = r * tw
+      var c = 0
+      while (c < tw) {
+        val srcIdx = srcRowBase + c.toLong * w / tw
+        out(outBase + c) = payload((srcIdx % n).toInt)
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
 }
 
 /** binary → array<double>(2): [shannon entropy (bits/byte), max byte

@@ -232,21 +232,34 @@ object Dedup {
     * Algorithm: min-label propagation with pointer jumping (label(x) ←
     * label(label(x)) each round) — the doubling step makes convergence
     * O(log diameter) rounds, each round two hash joins + one bounded
-    * driver count for the fixpoint test. Per-round `localCheckpoint`
+    * driver count for the fixpoint test. Per-round checkpointing
     * truncates the iterative plan's lineage (without it the plan tree
     * doubles per round and Catalyst analysis goes quadratic). Scale: the
     * labels table is |V(pairs)| rows — near-dup pairs are O(corpus) by
     * construction (bucketed + capped upstream), and each round's joins
-    * shuffle only (id, lbl) longs; a multi-hour cluster job would swap
-    * `localCheckpoint` for a reliable `checkpoint` dir, same plan
-    * otherwise. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .localCheckpoint()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint()
+    * shuffle only (id, lbl) longs.
+    *
+    * `reliableCheckpoint = false` (default) uses `localCheckpoint` —
+    * executor-local blocks, no extra I/O, right for interactive and
+    * bounded jobs. `true` uses reliable `checkpoint` against the
+    * session's `sparkContext.setCheckpointDir` (required, enforced
+    * here): on a multi-hour cluster run an executor loss cannot then
+    * force a from-scratch recompute of every prior round. Same plan,
+    * same results either way. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+                          reliableCheckpoint: Boolean = false): DataFrame = {
+    if (reliableCheckpoint)
+      require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoint=true needs sparkContext.setCheckpointDir (an " +
+          "HDFS/object-store path on a real cluster)")
+    def checkpointed(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    val edges = checkpointed(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))
+    var labels = checkpointed(
+      edges.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")))
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -258,9 +271,9 @@ object Dedup {
       // pointer jump: adopt the label OF the label (labels only ever
       // decrease, so the parent's label is ≤ ours and in-component)
       val parents = prop.select(col("id").as("pid"), col("lbl").as("plbl"))
-      val next = prop.join(parents, prop("lbl") === parents("pid"))
-        .select(prop("id").as("id"), col("plbl").as("lbl"))
-        .localCheckpoint()
+      val next = checkpointed(
+        prop.join(parents, prop("lbl") === parents("pid"))
+          .select(prop("id").as("id"), col("plbl").as("lbl")))
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).count()
       converged = changed == 0

@@ -86,9 +86,26 @@ object RankingIO {
     * are k rows per query — small by this module's contract) so the
     * coverage check and every returned frame share one execution of the
     * ranking plan instead of re-running a possibly expensive search per
-    * set. The persist lives until the session drops it (or the caller
-    * unpersists a returned frame's parent). */
-  def splitByQueries(ranking: DataFrame, querySets: Seq[DataFrame]): Seq[DataFrame] = {
+    * set. The persist lives until the session drops it — long-lived
+    * sessions doing MANY splits should use [[withSplitByQueries]], which
+    * releases the shared frame after use. */
+  def splitByQueries(ranking: DataFrame, querySets: Seq[DataFrame]): Seq[DataFrame] =
+    splitRouted(ranking, querySets)._2
+
+  /** [[splitByQueries]] with a bounded persist lifetime: applies `use`
+    * to the split rankings, then unpersists their shared routed parent —
+    * the splits must not escape `use` (their cache backing is released).
+    * ADVICE r4: the plain variant leaks one persisted ranking copy per
+    * call on the success path. */
+  def withSplitByQueries[T](ranking: DataFrame, querySets: Seq[DataFrame])
+                           (use: Seq[DataFrame] => T): T = {
+    val (routed, splits) = splitRouted(ranking, querySets)
+    try use(splits)
+    finally { routed.unpersist(blocking = false); () }
+  }
+
+  private def splitRouted(ranking: DataFrame,
+                          querySets: Seq[DataFrame]): (DataFrame, Seq[DataFrame]) = {
     require(querySets.nonEmpty, "at least one query set required")
     val tagged = querySets.zipWithIndex
       .map { case (q, i) =>
@@ -104,7 +121,7 @@ object RankingIO {
       throw new IllegalArgumentException(
         s"requirement failed: $uncovered ranking rows carry qids in no query set")
     }
-    querySets.indices.map(i => routed.filter(col("set_idx") === i).drop("set_idx"))
+    (routed, querySets.indices.map(i => routed.filter(col("set_idx") === i).drop("set_idx")))
   }
 
   /** Qrels 4-col TSV `qid 0 doc_id rel`, deduplicated (loaders.py:48-49). */

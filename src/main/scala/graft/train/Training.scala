@@ -135,9 +135,13 @@ object Training {
     // QUADRATIC (one row per qid × batch doc, O(bsize²·nway)); an
     // unconditional hint would force a multi-GB broadcast on a large
     // training batch where the planner should fall back to a shuffle join,
-    // so gate it on the matrix bound (two tiny count jobs over the
-    // batch-bounded key frames).
-    val scoredMatrixBound = qids.count() * batchDocs.count()
+    // so gate it on the matrix bound. ONE aggregation job computes both
+    // cardinalities (ADVICE r4: the previous two separate count() jobs
+    // each re-executed the triples pipeline per training batch).
+    val gateBounds = triples
+      .agg(countDistinct(col("qid")).as("nq"), countDistinct(col("doc_id")).as("nd"))
+      .head()
+    val scoredMatrixBound = gateBounds.getLong(0) * gateBounds.getLong(1)
     val scoredSide =
       if (scoredMatrixBound <= ScoredBroadcastMaxCells) broadcast(scored) else scored
     qids.crossJoin(broadcast(batchDocs))

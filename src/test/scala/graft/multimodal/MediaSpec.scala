@@ -29,9 +29,24 @@ class MediaSpec extends AnyFunSuite {
     assert(df(4L) == (0.0, 0.0))
   }
 
-  test("resizeStub: dims from the stub decode, exact scale factors, byte budget") {
+  test("resize kernel: hand-computed nearest-neighbor resample") {
+    // 4×2 plane over "abcdefgh": rows "abcd" / "efgh"; 2×2 nearest takes
+    // (0,0)→a, (0,2)→c, (1,0)→e, (1,2)→g
+    val out = assets(1L -> "abcdefgh")
+      .select(Media.resized(col("payload"), lit(4), lit(2), 2, 2).as("r"))
+      .head.getAs[Array[Byte]](0)
+    assert(new String(out, "UTF-8") == "aceg")
+    // wrap: a 3-byte payload read as a 4×2 plane cycles abc → the
+    // identity-size resample reproduces the wrapped plane itself
+    val wrapped = assets(2L -> "abc")
+      .select(Media.resized(col("payload"), lit(4), lit(2), 4, 2).as("r"))
+      .head.getAs[Array[Byte]](0)
+    assert(new String(wrapped, "UTF-8") == "abcabcab")
+  }
+
+  test("resize: stub-decode dims, exact scale factors, real resampled plane") {
     val a = assets(7L -> "x" * 100) // nb=100 → width 116, height (3100 % 480)+16
-    val r = Media.resizeStub(a, targetW = 224, targetH = 112).head
+    val r = Media.resize(a, targetW = 224, targetH = 112).head
     val (w, h) = (100 % 640 + 16, (100L * 31 % 480 + 16).toInt)
     assert(r.getInt(1) == w && r.getInt(2) == h)
     assert(r.getInt(3) == 224 && r.getInt(4) == 112)
@@ -39,6 +54,8 @@ class MediaSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(r.getDouble(6) == BigDecimal(112.0 / h)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    assert(r.getLong(7) == 224L * 112 * 3)
+    val plane = r.getAs[Array[Byte]](7)
+    assert(plane.length == 224 * 112)
+    assert(plane.forall(_ == 'x'.toByte)) // uniform source → uniform plane
   }
 }

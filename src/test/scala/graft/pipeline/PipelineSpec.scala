@@ -102,6 +102,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: reliable checkpoint mode matches localCheckpoint") {
+    // multi-round fixture: a 64-node chain needs several pointer-jumping
+    // rounds, so the reliable path truncates lineage repeatedly
+    val chain = (0L until 63L).map(i => (i, i + 1)) ++ Seq((200L, 201L))
+    val pairs = chain.toDF("doc_a", "doc_b")
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      // no checkpoint dir configured → must refuse, not silently recompute
+      intercept[IllegalArgumentException] {
+        Dedup.connectedComponents(pairs, reliableCheckpoint = true)
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val reliable = Dedup.connectedComponents(pairs, reliableCheckpoint = true)
+      .as[(Long, Long)].collect().toMap
+    val local = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+    assert((0L to 63L).forall(reliable(_) == 0L))
+  }
+
   test("neardup clusters: planted clone triples resolve with the longest doc as keeper") {
     val rows = Dedup.neardupClusters(docs)
       .as[(Long, Long, Long, Long)].collect()

@@ -127,6 +127,60 @@ class PlanSpec extends AnyFunSuite {
     index.blocks.unpersist(); index.termStats.unpersist(); index.corpusStats.unpersist()
   }
 
+  test("extraction spans probe the corpus once, tokenize above the result join") {
+    import spark.implicits._
+    val raw = Bm25IndexTables.fromDocs(docs)
+    val index = raw.copy(blocks = raw.blocks.persist(),
+      termStats = raw.termStats.persist(), corpusStats = raw.corpusStats.persist())
+    index.blocks.count(); index.termStats.count(); index.corpusStats.count()
+    val queries = Seq((1L, "w1 w2")).toDF("qid", "text")
+    val ranking = Seq((1L, 5L, 1)).toDF("qid", "doc_id", "rank")
+    val df = Bm25Search.searchExtractions(queries, index, fileDocs, 10,
+      precomputedRanking = Some(ranking))
+    val opt = df.queryExecution.optimizedPlan
+    // ONE corpus scan: the r4 fix rides dl on the same exploded pass as
+    // the spans — a separate dl frame re-executed the probe a second time
+    val corpusScans = opt.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(corpusScans.size == 1, s"expected exactly 1 corpus scan:\n$opt")
+    // the offsets tokenize must consume the ranking join's output — over
+    // the bare scan it would tokenize EVERY doc per extraction call
+    val tokNodes = opt.collect {
+      case p if p.expressions.exists(_.exists(_.prettyName == "tokenize_with_offsets")) => p
+    }
+    assert(tokNodes.nonEmpty, s"no offsets tokenize found:\n$opt")
+    tokNodes.foreach { n =>
+      val joinBelow = n.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joinBelow.nonEmpty, s"offsets tokenize below the result join:\n$opt")
+    }
+    index.blocks.unpersist(); index.termStats.unpersist(); index.corpusStats.unpersist()
+  }
+
+  test("batch assembly hashes matched rows only (md5 above the corpus join)") {
+    import spark.implicits._
+    val triples = Seq((1L, 0, 5L, 8.0)).toDF("qid", "way", "doc_id", "score")
+    val queries = Seq((1L, "spark merge")).toDF("qid", "text")
+    val opt = graft.train.Training.assembleBatch(triples, queries, fileDocs)
+      .queryExecution.optimizedPlan
+    // any md5 whose subtree reaches the corpus scan must sit ABOVE a join
+    // (Catalyst never defers a projection past a join, so an md5 in the
+    // corpus-side projection digests every doc per batch — the r4 bug)
+    val md5OverCorpus = opt.collect {
+      case p if p.expressions.exists(_.exists(_.prettyName == "md5")) &&
+        p.exists(_.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]) => p
+    }
+    assert(md5OverCorpus.nonEmpty, s"no corpus-side md5 found:\n$opt")
+    md5OverCorpus.foreach { n =>
+      val joinBelow = n.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joinBelow.nonEmpty, s"md5 computed below the corpus join:\n$opt")
+    }
+  }
+
   test("WAND stage B reads only ids + bounds (column pruning on the blocks scan)") {
     val dir = Files.createTempDirectory("graft-plan2").toString
     IndexBuilder.build(spark, Synthesizer.pages(spark, 200, 3), dir, auditExtraction = false)

@@ -86,6 +86,22 @@ class RankingIOSpec extends AnyFunSuite {
     }
   }
 
+  test("withSplitByQueries releases the shared persisted frame after use") {
+    val ranking = Seq((1L, 10L, 1, 3.5), (2L, 30L, 1, 9.0))
+      .toDF("qid", "doc_id", "rank", "score")
+    val sets = Seq(Seq((1L, "qa")).toDF("qid", "text"), Seq((2L, "qb")).toDF("qid", "text"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = RankingIO.withSplitByQueries(ranking, sets) { splits =>
+      splits.map(_.as[(Long, Long, Int, Double)].collect().toSet)
+    }
+    assert(got == Seq(Set((1L, 10L, 1, 3.5)), Set((2L, 30L, 1, 9.0))))
+    // unpersist is async (blocking=false): poll briefly for the release
+    val deadline = System.nanoTime() + 10_000_000_000L
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(leaked.isEmpty, s"routed frame still persisted: $leaked")
+  }
+
   test("df-pruned search drops stopword-grade terms but keeps rare-term results") {
     import graft.analysis.Tokenizer
     import graft.corpus.Synthesizer

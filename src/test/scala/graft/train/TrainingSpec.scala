@@ -180,6 +180,43 @@ class TrainingSpec extends AnyFunSuite {
     assert(snap4(out(1L)._3) == snap4(exp(1L)._3))
   }
 
+  /** ADVICE r4: the scored-broadcast gate must cost ONE aggregation
+    * action over the triples frame, not two separate count() jobs that
+    * each re-execute the upstream pipeline per training batch. Pinned
+    * relative to measured baselines (AQE splits one action into a
+    * deterministic number of scheduler jobs, so absolute counts would be
+    * brittle): jobs(inBatchScores) == jobs(compile) + jobs(one gate agg). */
+  test("inBatchScores broadcast gate costs one aggregation action") {
+    val triples = Seq(
+      (1L, 0, 0L, 8.0), (1L, 1, 5L, 1.0),
+      (2L, 0, 1L, 7.0), (2L, 1, 9L, 1.0)).toDF("qid", "way", "doc_id", "score")
+    val sc = spark.sparkContext
+    def jobsIn(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group)
+      try body finally sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    // warm every path once so caching/JIT does not skew the baselines
+    Training.inBatchScores(queries, triples, index)
+    val qids = triples.select(col("qid")).distinct()
+    val base = jobsIn("ib-gate-base") {
+      Bm25Search.compileQueriesAuto(
+        queries.join(qids, Seq("qid"), "left_semi"), index.termStats)
+      ()
+    }
+    val gateOnly = jobsIn("ib-gate-agg") {
+      triples.agg(countDistinct(col("qid")), countDistinct(col("doc_id"))).head()
+      ()
+    }
+    val n = jobsIn("ib-gate-call") {
+      Training.inBatchScores(queries, triples, index)
+      ()
+    }
+    assert(gateOnly >= 1)
+    assert(n == base + gateOnly,
+      s"inBatchScores ran $n jobs; expected compile ($base) + one gate agg ($gateOnly)")
+  }
+
   test("lengthBatches is identical across parallelism levels") {
     val a = Training.lengthBatches(docs.repartition(1), chunkSize = 8, bsize = 4)
       .collect().map(_.toSeq).sortBy(_.toString)
