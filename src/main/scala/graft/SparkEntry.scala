@@ -203,6 +203,29 @@ object SparkEntry {
       }.persist()
     }
 
+  /** Rank-derived distillation nway frame (NO qrels): ways 0..nway−1 are
+    * the top-nway RANKED docs (way = rank − 1), teacher = ranking score —
+    * the reference's distillation-without-qrels mode (triples files carry
+    * ranked pids + scores whether or not qrels exist,
+    * lazy_batcher.py:57-79). Also the gate row exercising a genuinely
+    * MULTI-way CE/KL softmax: the qrels-based triples are single-way
+    * wherever every top-10 doc is conjunctively relevant, the norm on
+    * this corpus. */
+  private val distillNwayCache = new SessionCache[DataFrame]
+  private def distillNwayScoresFor(s: SparkSession, dir: String): DataFrame =
+    distillNwayCache.getOrElseUpdate(s, dir) {
+      diskFixture(s, "distill-nway", dir) {
+        val trip = flagshipRankingFor(s, dir).filter(col("rank") <= TrainNway)
+          .select(col("qid"), (col("rank") - 1).cast("int").as("way"),
+            col("doc_id"), col("score"))
+        val student = Training.fliprScoresFor(
+          flagshipQueriesDf(s), trip.select(col("doc_id")).distinct(), indexFor(s, dir))
+        student.join(broadcast(trip), Seq("qid", "doc_id"))
+          .select(col("qid"), col("way"),
+            col("score").as("teacher"), col("student_score").as("student"))
+      }.persist()
+    }
+
   // -- persisted index fixtures -----------------------------------------
   // The oracle-gated PERSISTED path (VERDICT r1 item 1): the 4-stage
   // IndexBuilder build + parquet In-filter search, and the updater's
@@ -392,6 +415,7 @@ object SparkEntry {
       // the student flipr scores + teacher join feed train_losses alone,
       // but they are the same once-per-batch scoring pass as the matrix
       timed("train_nway_scores") { nwayScoresFor(s, dir).count(); () },
+      timed("train_distill_nway") { distillNwayScoresFor(s, dir).count(); () },
       // pair generation feeds BOTH dedup_jaccard (the report) and
       // dedup_clusters (the resolution) — without this the sweep charges
       // the whole build to whichever runs first alphabetically
@@ -738,6 +762,20 @@ object SparkEntry {
     "train_losses" -> ((s, dir) => {
       import graft.train.ExactMath.snap4Sql
       Training.losses(nwayScoresFor(s, dir), ibScoresFor(s, dir))
+        .select(col("qid"),
+          expr(snap4Sql("ce_nway")).as("ce_nway"),
+          expr(snap4Sql("kl_distill")).as("kl_distill"),
+          expr(snap4Sql("ib_ce")).as("ib_ce"))
+    }),
+
+    // the same reductions in distillation-without-qrels mode: nway = the
+    // top-4 RANKED docs (way = rank − 1), teacher = ranking score — every
+    // query then has a genuinely multi-way softmax, so this row gates the
+    // multi-element CE/KL polynomial path cross-engine (the qrels-based
+    // row above is single-way wherever all top-10 docs are relevant)
+    "train_losses_distill" -> ((s, dir) => {
+      import graft.train.ExactMath.snap4Sql
+      Training.losses(distillNwayScoresFor(s, dir), ibScoresFor(s, dir))
         .select(col("qid"),
           expr(snap4Sql("ce_nway")).as("ce_nway"),
           expr(snap4Sql("kl_distill")).as("kl_distill"),
@@ -1709,94 +1747,31 @@ object SparkEntry {
       s"""$TriplesCte, $IbRowsCte
          |SELECT qid, doc_id, round(score, 4) AS score, label FROM ibr""".stripMargin,
 
-    "train_losses" -> {
-      // exact-arithmetic exp/ln (graft.train.ExactMath): the SAME
-      // generated polynomial text Training.losses evaluates — IEEE-exact
-      // +,−,×,÷ only, so both engines produce bit-identical doubles and
-      // the final snap (floor-based, itself engine-exact) cannot flip
-      import graft.train.ExactMath._
-      s"""$TriplesCte, fpart AS (
-         |  SELECT qid, doc_id, partial,
-         |         row_number() OVER (PARTITION BY qid, doc_id ORDER BY partial DESC) AS pr
-         |  FROM hits
-         |), fscores AS (
-         |  SELECT qid, doc_id, sum(partial) AS score FROM fpart WHERE pr <= 2 GROUP BY 1, 2
-         |), nws AS (
+    // both loss oracles replay graft.train.ExactMath's exact exp/ln —
+    // the SAME generated polynomial text Training.losses evaluates
+    // (IEEE-exact +,−,×,÷ only), so both engines produce bit-identical
+    // doubles and the final floor-based snap cannot flip
+    "train_losses" ->
+      s"""$TriplesCte, $FscoresCte, nws AS (
          |  SELECT t.qid, t.way, round(t.score, 4) AS ts, round(f.score, 4) AS ss
          |  FROM triples t JOIN fscores f ON f.qid = t.qid AND f.doc_id = t.doc_id
-         |), nagg AS (
-         |  SELECT qid, max(ss) AS m_s, max(ts) AS m_t,
-         |         list(ss ORDER BY way) AS sss, list(ts ORDER BY way) AS tss,
-         |         first(ss ORDER BY way) AS s_pos
-         |  FROM nws GROUP BY 1
-         |), nh AS (
-         |  SELECT *, [${expReduceSql("x - m_s")} for x in sss] AS ess,
-         |            [${expReduceSql("x - m_t")} for x in tss] AS ets
-         |  FROM nagg
-         |), nc AS (
-         |  SELECT * REPLACE ([${expCoreSql("h")} for h in ess] AS ess,
-         |                    [${expCoreSql("h")} for h in ets] AS ets) FROM nh
-         |), ns1 AS (
-         |  SELECT * REPLACE ([${pow4Sql("p")} for p in ess] AS ess,
-         |                    [${pow4Sql("p")} for p in ets] AS ets) FROM nc
-         |), ns2 AS (
-         |  SELECT * REPLACE ([${pow4Sql("p")} for p in ess] AS ess,
-         |                    [${pow4Sql("p")} for p in ets] AS ets) FROM ns1
-         |), ns3 AS (
-         |  SELECT * REPLACE ([${pow4Sql("p")} for p in ess] AS ess,
-         |                    [${pow4Sql("p")} for p in ets] AS ets) FROM ns2
-         |), nz AS (
-         |  SELECT *, list_reduce(ess, (a, b) -> a + b) AS zs,
-         |            list_reduce(ets, (a, b) -> a + b) AS zt FROM ns3
-         |), nk AS (
-         |  SELECT *, ${lnKSql("zs")} AS k_zs, ${lnMSql("zs")} AS mm_zs,
-         |            ${lnKSql("zt")} AS k_zt, ${lnMSql("zt")} AS mm_zt FROM nz
-         |), nw AS (
-         |  SELECT *, (mm_zs - 1)/(mm_zs + 1) AS w_zs,
-         |            (mm_zt - 1)/(mm_zt + 1) AS w_zt FROM nk
-         |), nu AS (
-         |  SELECT *, w_zs*w_zs AS u_zs, w_zt*w_zt AS u_zt FROM nw
-         |), nl AS (
-         |  SELECT *, ${lnAssembleSql("k_zs", "w_zs", "u_zs")} AS lzs,
-         |            ${lnAssembleSql("k_zt", "w_zt", "u_zt")} AS lzt FROM nu
-         |), nloss AS (
-         |  SELECT qid, -(s_pos - m_s - lzs) AS ce_nway,
-         |    list_reduce([p[1] / zt * ((p[3] - m_t - lzt) - (p[2] - m_s - lzs))
-         |                 for p in list_zip(ets, sss, tss)], (a, b) -> a + b) AS kl_distill
-         |  FROM nl
-         |), $IbRowsCte, iagg AS (
-         |  SELECT qid, max(round(score, 4)) AS m_i,
-         |         list(round(score, 4) ORDER BY doc_id) AS xs,
-         |         max(CASE WHEN label = 1 THEN round(score, 4) END) AS si_pos
-         |  FROM ibr GROUP BY 1
-         |), ih AS (
-         |  SELECT *, [${expReduceSql("x - m_i")} for x in xs] AS eis FROM iagg
-         |), ic AS (
-         |  SELECT * REPLACE ([${expCoreSql("h")} for h in eis] AS eis) FROM ih
-         |), is1 AS (
-         |  SELECT * REPLACE ([${pow4Sql("p")} for p in eis] AS eis) FROM ic
-         |), is2 AS (
-         |  SELECT * REPLACE ([${pow4Sql("p")} for p in eis] AS eis) FROM is1
-         |), is3 AS (
-         |  SELECT * REPLACE ([${pow4Sql("p")} for p in eis] AS eis) FROM is2
-         |), iz AS (
-         |  SELECT *, list_reduce(eis, (a, b) -> a + b) AS z_i FROM is3
-         |), ik AS (
-         |  SELECT *, ${lnKSql("z_i")} AS k_zi, ${lnMSql("z_i")} AS mm_zi FROM iz
-         |), iw AS (
-         |  SELECT *, (mm_zi - 1)/(mm_zi + 1) AS w_zi FROM ik
-         |), iu AS (
-         |  SELECT *, w_zi*w_zi AS u_zi FROM iw
-         |), il AS (
-         |  SELECT *, ${lnAssembleSql("k_zi", "w_zi", "u_zi")} AS lz_i FROM iu
-         |), iloss AS (
-         |  SELECT qid, -(si_pos - m_i - lz_i) AS ib_ce FROM il
-         |)
-         |SELECT n.qid, ${snap4Sql("n.ce_nway")} AS ce_nway,
-         |       ${snap4Sql("n.kl_distill")} AS kl_distill,
-         |       ${snap4Sql("i.ib_ce")} AS ib_ce
-         |FROM nloss n JOIN iloss i ON i.qid = n.qid""".stripMargin
-    }
+         |), ${nwayLossCtes("nws")}, $IbRowsCte, $IbLossCtes
+         |$LossFinalSelect""".stripMargin,
+
+    // the distillation-without-qrels mode: nway = the top-4 RANKED docs
+    // (way = rank − 1), teacher = ranking score — every query then has a
+    // genuinely multi-way softmax (the qrels-based triples above are
+    // single-way wherever all top-10 docs are conjunctively relevant,
+    // which is the norm on this corpus), so this row gates the
+    // multi-element CE/KL polynomial path cross-engine
+    "train_losses_distill" ->
+      s"""$TriplesCte, $FscoresCte, dnws AS (
+         |  SELECT t.qid, (t.rank - 1)::INT AS way,
+         |         round(t.score, 4) AS ts, round(f.score, 4) AS ss
+         |  FROM (SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= $TrainNway) t
+         |  JOIN fscores f ON f.qid = t.qid AND f.doc_id = t.doc_id
+         |), ${nwayLossCtes("dnws")}, $IbRowsCte, $IbLossCtes
+         |$LossFinalSelect""".stripMargin
   )
 
   /** Shared IVF CTE — the data-driven quantizer (k = ⌈√N⌉ sampled seeds +
@@ -1920,4 +1895,106 @@ object SparkEntry {
       |  WHERE NOT EXISTS (
       |    SELECT 1 FROM ownneg o WHERE o.qid = p.qid AND o.doc_id = p.doc_id)
       |)""".stripMargin
+
+  /** Flipr student scores (top-2 term partials per (qid, doc)) — plugs
+    * after the BM25 CTE's `hits`. */
+  private val FscoresCte: String =
+    """fpart AS (
+      |  SELECT qid, doc_id, partial,
+      |         row_number() OVER (PARTITION BY qid, doc_id ORDER BY partial DESC) AS pr
+      |  FROM hits
+      |), fscores AS (
+      |  SELECT qid, doc_id, sum(partial) AS score FROM fpart WHERE pr <= 2 GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** nway-side loss chain (CE + KL) over `src` rows (qid, way, ts, ss):
+    * the DuckDB replay of Training.losses' ExactMath exp/ln — chained
+    * CTE stages because inlining the composed polynomials would
+    * duplicate subexpressions exponentially. Ends in `nloss`. */
+  private def nwayLossCtes(src: String): String = {
+    import graft.train.ExactMath._
+    s"""nagg AS (
+       |  SELECT qid, max(ss) AS m_s, max(ts) AS m_t,
+       |         list(ss ORDER BY way) AS sss, list(ts ORDER BY way) AS tss,
+       |         first(ss ORDER BY way) AS s_pos
+       |  FROM $src GROUP BY 1
+       |), nh AS (
+       |  SELECT *, [${expReduceSql("x - m_s")} for x in sss] AS ess,
+       |            [${expReduceSql("x - m_t")} for x in tss] AS ets
+       |  FROM nagg
+       |), nc AS (
+       |  SELECT * REPLACE ([${expCoreSql("h")} for h in ess] AS ess,
+       |                    [${expCoreSql("h")} for h in ets] AS ets) FROM nh
+       |), ns1 AS (
+       |  SELECT * REPLACE ([${pow4Sql("p")} for p in ess] AS ess,
+       |                    [${pow4Sql("p")} for p in ets] AS ets) FROM nc
+       |), ns2 AS (
+       |  SELECT * REPLACE ([${pow4Sql("p")} for p in ess] AS ess,
+       |                    [${pow4Sql("p")} for p in ets] AS ets) FROM ns1
+       |), ns3 AS (
+       |  SELECT * REPLACE ([${pow4Sql("p")} for p in ess] AS ess,
+       |                    [${pow4Sql("p")} for p in ets] AS ets) FROM ns2
+       |), nz AS (
+       |  SELECT *, list_reduce(ess, (a, b) -> a + b) AS zs,
+       |            list_reduce(ets, (a, b) -> a + b) AS zt FROM ns3
+       |), nk AS (
+       |  SELECT *, ${lnKSql("zs")} AS k_zs, ${lnMSql("zs")} AS mm_zs,
+       |            ${lnKSql("zt")} AS k_zt, ${lnMSql("zt")} AS mm_zt FROM nz
+       |), nw AS (
+       |  SELECT *, (mm_zs - 1)/(mm_zs + 1) AS w_zs,
+       |            (mm_zt - 1)/(mm_zt + 1) AS w_zt FROM nk
+       |), nu AS (
+       |  SELECT *, w_zs*w_zs AS u_zs, w_zt*w_zt AS u_zt FROM nw
+       |), nl AS (
+       |  SELECT *, ${lnAssembleSql("k_zs", "w_zs", "u_zs")} AS lzs,
+       |            ${lnAssembleSql("k_zt", "w_zt", "u_zt")} AS lzt FROM nu
+       |), nloss AS (
+       |  SELECT qid, -(s_pos - m_s - lzs) AS ce_nway,
+       |    list_reduce([p[1] / zt * ((p[3] - m_t - lzt) - (p[2] - m_s - lzs))
+       |                 for p in list_zip(ets, sss, tss)], (a, b) -> a + b) AS kl_distill
+       |  FROM nl
+       |)""".stripMargin
+  }
+
+  /** in-batch-side loss chain (ib CE) over `ibr` — plugs after
+    * [[IbRowsCte]], ends in `iloss`. */
+  private val IbLossCtes: String = {
+    import graft.train.ExactMath._
+    s"""iagg AS (
+       |  SELECT qid, max(round(score, 4)) AS m_i,
+       |         list(round(score, 4) ORDER BY doc_id) AS xs,
+       |         max(CASE WHEN label = 1 THEN round(score, 4) END) AS si_pos
+       |  FROM ibr GROUP BY 1
+       |), ih AS (
+       |  SELECT *, [${expReduceSql("x - m_i")} for x in xs] AS eis FROM iagg
+       |), ic AS (
+       |  SELECT * REPLACE ([${expCoreSql("h")} for h in eis] AS eis) FROM ih
+       |), is1 AS (
+       |  SELECT * REPLACE ([${pow4Sql("p")} for p in eis] AS eis) FROM ic
+       |), is2 AS (
+       |  SELECT * REPLACE ([${pow4Sql("p")} for p in eis] AS eis) FROM is1
+       |), is3 AS (
+       |  SELECT * REPLACE ([${pow4Sql("p")} for p in eis] AS eis) FROM is2
+       |), iz AS (
+       |  SELECT *, list_reduce(eis, (a, b) -> a + b) AS z_i FROM is3
+       |), ik AS (
+       |  SELECT *, ${lnKSql("z_i")} AS k_zi, ${lnMSql("z_i")} AS mm_zi FROM iz
+       |), iw AS (
+       |  SELECT *, (mm_zi - 1)/(mm_zi + 1) AS w_zi FROM ik
+       |), iu AS (
+       |  SELECT *, w_zi*w_zi AS u_zi FROM iw
+       |), il AS (
+       |  SELECT *, ${lnAssembleSql("k_zi", "w_zi", "u_zi")} AS lz_i FROM iu
+       |), iloss AS (
+       |  SELECT qid, -(si_pos - m_i - lz_i) AS ib_ce FROM il
+       |)""".stripMargin
+  }
+
+  private val LossFinalSelect: String = {
+    import graft.train.ExactMath.snap4Sql
+    s"""SELECT n.qid, ${snap4Sql("n.ce_nway")} AS ce_nway,
+       |       ${snap4Sql("n.kl_distill")} AS kl_distill,
+       |       ${snap4Sql("i.ib_ce")} AS ib_ce
+       |FROM nloss n JOIN iloss i ON i.qid = n.qid""".stripMargin
+  }
 }
