@@ -389,7 +389,7 @@ Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
          |artifact (the pooled estimator still reports the minimum-time
          |ratio, not a cherry-picked run).
          |
-         |### Primary pair: local[2] vs local[8] (${pairsA.head.docs} docs) — ${pairsA.size} consecutive protocol runs
+         |### Primary pair: local[2] vs local[8] (${pairsA.head.docs} docs) — ${pairsA.size} protocol run(s), count budget-fitted
          |
          || run | build sec @2 | build sec @8 | docs/sec @2 | docs/sec @8 | efficiency |
          || --- | --- | --- | --- | --- | --- |
@@ -412,7 +412,13 @@ Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
          |shared memory bus of this VM — the closer analog of adding
          |executor NODES (each with its own memory bandwidth).
          |
-         |### Secondary pair: local[8] vs local[32] (${pairsB.head.docs} docs) — ${pairsB.size} consecutive protocol runs
+         |### Secondary pair: local[8] vs local[32] (${pairsB.head.docs} docs) — ${pairsB.size} protocol run(s), count budget-fitted
+         |
+         |(The bench fits its arm repetitions to a wall budget —
+         |SPARK_GRAFT_BENCH_BUDGET_MIN, default 38 — after round 4's
+         |independent run was killed by an external timeout with the WAND
+         |arm never executed; the first run of every arm is unconditional,
+         |repeats run only while they fit.)
          |
          || run | build sec @8 | build sec @32 | docs/sec @8 | docs/sec @32 | efficiency |
          || --- | --- | --- | --- | --- | --- |
