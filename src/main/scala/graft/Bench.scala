@@ -458,7 +458,14 @@ Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
          |
          |One-time on-disk index fixtures are built BEFORE the timed sweep
          |and reported here separately (they are index-build cost, not
-         |query cost):
+         |query cost). Shared fixture FRAMES are disk-backed (parquet,
+         |round 5) so consumer timings survive cache eviction; one side
+         |effect: entries whose plan previously coincided with a
+         |memory-persisted fixture no longer get an accidental
+         |logical-plan cache substitution — bm25_topk's earlier ~0.19 s
+         |was such a hit against the resident flagship ranking, and it
+         |now measures a genuinely fresh 10-query search (~0.9 s, parity
+         |with the window/flipr variants):
          |
          || fixture | sec |
          || --- | --- |
