@@ -217,6 +217,72 @@ class TrainingSpec extends AnyFunSuite {
       s"inBatchScores ran $n jobs; expected compile ($base) + one gate agg ($gateOnly)")
   }
 
+  /** Semantic correctness, not just spec-consistency: on random inputs
+    * the polynomial path must agree with a plain libm softmax/CE/KL
+    * reference within the polynomials' truncation error — the spec
+    * computes the REAL losses, not merely a self-consistent function. */
+  test("losses track a libm reference within truncation error on random inputs") {
+    val rnd = new scala.util.Random(5)
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val nway = (1 to 40).flatMap { q =>
+      val ways = 1 + rnd.nextInt(6)
+      (0 until ways).map(w => (q.toLong, w, r4(rnd.nextDouble() * 20), r4(rnd.nextDouble() * 20)))
+    }
+    val ib = (1 to 40).flatMap { q =>
+      val docs = 1 + rnd.nextInt(8)
+      (0 until docs).map(d =>
+        (q.toLong, d.toLong, r4(rnd.nextDouble() * 20), if (d == 0) 1 else 0))
+    }
+    val out = Training.losses(
+      nway.toDF("qid", "way", "teacher", "student"),
+      ib.toDF("qid", "doc_id", "score", "label"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out.size == 40)
+    def logSumExp(xs: Seq[Double]): Double = {
+      val m = xs.max; m + math.log(xs.map(x => math.exp(x - m)).sum)
+    }
+    val nByQ = nway.groupBy(_._1)
+    val iByQ = ib.groupBy(_._1)
+    for (q <- out.keys) {
+      val rows = nByQ(q).sortBy(_._2)
+      val ts = rows.map(_._3); val ss = rows.map(_._4)
+      val ceRef = -(ss.head - logSumExp(ss))
+      val klRef = ts.indices.map { i =>
+        val pt = math.exp(ts(i) - logSumExp(ts))
+        pt * ((ts(i) - logSumExp(ts)) - (ss(i) - logSumExp(ss)))
+      }.sum
+      val xs = iByQ(q).sortBy(_._2).map(_._3)
+      val ibRef = -(xs.head - logSumExp(xs)) // label sits on doc 0
+      assert(math.abs(out(q)._1 - ceRef) < 1e-9, s"ce qid=$q")
+      assert(math.abs(out(q)._2 - klRef) < 1e-9, s"kl qid=$q")
+      assert(math.abs(out(q)._3 - ibRef) < 1e-9, s"ib qid=$q")
+      assert(out(q)._1 >= -1e-12 && out(q)._3 >= -1e-12) // CE nonnegative
+    }
+  }
+
+  test("losses are bit-identical across parallelism levels") {
+    val rnd = new scala.util.Random(9)
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val nway = (1 to 25).flatMap(q => (0 until 4).map(w =>
+      (q.toLong, w, r4(rnd.nextDouble() * 15), r4(rnd.nextDouble() * 15))))
+    val ib = (1 to 25).flatMap(q => (0 until 6).map(d =>
+      (q.toLong, d.toLong, r4(rnd.nextDouble() * 15), if (d == 0) 1 else 0)))
+    def run(parts: Int) = Training.losses(
+      nway.toDF("qid", "way", "teacher", "student").repartition(parts),
+      ib.toDF("qid", "doc_id", "score", "label").repartition(parts))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val a = run(1); val b = run(7)
+    assert(a.keySet == b.keySet)
+    // canonical-order folds make the doubles BIT-equal, not merely close
+    for (q <- a.keys; i <- 0 until 3) {
+      val (x, y) = (a(q).productElement(i), b(q).productElement(i))
+      assert(java.lang.Double.doubleToLongBits(x.asInstanceOf[Double]) ==
+        java.lang.Double.doubleToLongBits(y.asInstanceOf[Double]), s"qid=$q col=$i")
+    }
+  }
+
   test("lengthBatches is identical across parallelism levels") {
     val a = Training.lengthBatches(docs.repartition(1), chunkSize = 8, bsize = 4)
       .collect().map(_.toSeq).sortBy(_.toString)
