@@ -133,7 +133,13 @@ object Bench {
         None
     }
 
-  private def wandMd(wand: Option[WandRegime], cpus: Int): String = wand match {
+  private def wandMd(wand: Option[WandRegime], cpus: Int,
+                     skipped: Boolean = false): String = wand match {
+    case None if skipped =>
+      """The wand arm was SKIPPED this run: the sweep left less budget than
+        |the wand floor, and the scaling pairs (the north-rule gate) take
+        |precedence. Numbers from the last successful run are in git history.
+        |""".stripMargin
     case None =>
       """The forked wand_regime arm FAILED this run (see stderr); wall/decode
         |numbers from the last successful run are in git history.
@@ -196,7 +202,8 @@ ${if (w.tWand < w.tFull) f"win ${w.tFull / w.tWand}%.1f×" else f"LOSS ${w.tWand
     * in the output tail, and once at the end with everything. */
   private def jsonLine(results: Seq[(String, Double)], fixtures: Seq[(String, Double)],
                        sfDir: String, pairsA: Seq[Pair], pairsBOpt: Option[Seq[Pair]],
-                       wand: Option[WandRegime], provisional: Boolean = false): String = {
+                       wand: Option[WandRegime], provisional: Boolean = false,
+                       wandSkipped: Boolean = false): String = {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val fx = fixtures.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -217,7 +224,8 @@ ${if (w.tWand < w.tFull) f"win ${w.tFull / w.tWand}%.1f×" else f"LOSS ${w.tWand
         f""""blocks_wand":${w.blocksWand},"postings_full":${w.postingsFull},""" +
         f""""postings_wand":${w.postingsWand}}"""
       case None =>
-        if (provisional) """"wand_regime":{"pending":true}"""
+        if (wandSkipped) """"wand_regime":{"skipped_budget":true}"""
+        else if (provisional) """"wand_regime":{"pending":true}"""
         else """"wand_regime":{"failed":true}"""
     }
     val prov = if (provisional) """"provisional":true,""" else ""
@@ -275,7 +283,7 @@ ${if (w.tWand < w.tFull) f"win ${w.tFull / w.tWand}%.1f×" else f"LOSS ${w.tWand
     val spark = session(cpus)
     val pagesDirA = Files.createTempDirectory("graft-bench-pages-a").toString
     val pagesDirB = Files.createTempDirectory("graft-bench-pages-b").toString
-    val (results, fixtures, pairsA, pairsB, wand) =
+    val (results, fixtures, pairsA, pairsB, wand, wandSkipped) =
       try {
         corpus.Synthesizer.pages(spark, docsA, 128).write.mode("overwrite").parquet(pagesDirA)
         corpus.Synthesizer.pages(spark, docsB, 128).write.mode("overwrite").parquet(pagesDirB)
@@ -307,12 +315,22 @@ ${if (w.tWand < w.tFull) f"win ${w.tFull / w.tWand}%.1f×" else f"LOSS ${w.tWand
         // gracefully (a provisional line goes out after EVERY pair run) —
         // so the fragile arm runs while budget is surest, in its own
         // right-sized JVM (largest-memory stage; an in-parent run once
-        // GC-stalled the whole bench)
-        val wand = wandRegime(cpus,
-          sys.env.getOrElse("SPARK_GRAFT_WAND_DOCS", "6000000").toLong,
-          sys.env.getOrElse("SPARK_GRAFT_WAND_VOCAB", "2000000").toInt)
+        // GC-stalled the whole bench). One guard: the scaling pairs are
+        // the NORTH-RULE gate, so if a pathologically contended sweep
+        // already ate the budget, the wand arm (nice-to-have evidence)
+        // is skipped rather than starving the gate of even a first run.
+        val wandFloorSec = 15 * 60.0
+        val wandSkipped = remainingSec() < wandFloorSec
+        val wand =
+          if (wandSkipped) {
+            System.err.println(f"[bench] SKIPPING wand arm: ${remainingSec()}%.0f s " +
+              f"left < $wandFloorSec%.0f s floor (scaling gate takes precedence)")
+            None
+          } else wandRegime(cpus,
+            sys.env.getOrElse("SPARK_GRAFT_WAND_DOCS", "6000000").toLong,
+            sys.env.getOrElse("SPARK_GRAFT_WAND_VOCAB", "2000000").toInt)
         println(jsonLine(results, fixtures, sfDir, Seq.empty, None, wand,
-          provisional = true))
+          provisional = true, wandSkipped = wandSkipped))
 
         // scaling pairs, budget-fitted: up to 3 protocol runs each, arms
         // alternating 2,8,2,8,... so the VM's episodic contention windows
@@ -325,12 +343,12 @@ ${if (w.tWand < w.tFull) f"win ${w.tFull / w.tWand}%.1f×" else f"LOSS ${w.tWand
         val pairsA = runPairsBudgeted(2, 8, docsA, pagesDirA, pairARuns,
           remainingSec, reserveSec = 300,
           pa => println(jsonLine(results, fixtures, sfDir, pa, None, wand,
-            provisional = true)))
+            provisional = true, wandSkipped = wandSkipped)))
         val pairsB = runPairsBudgeted(8, 32, docsB, pagesDirB, pairBRuns,
           remainingSec, reserveSec = 0,
           pb => println(jsonLine(results, fixtures, sfDir, pairsA, Some(pb), wand,
-            provisional = true)))
-        (results, fixtures, pairsA, pairsB, wand)
+            provisional = true, wandSkipped = wandSkipped)))
+        (results, fixtures, pairsA, pairsB, wand, wandSkipped)
       } finally {
         // a failed child must not leak the multi-GB temp corpora
         Seq(pagesDirA, pagesDirB).foreach(deleteRecursively)
@@ -342,7 +360,8 @@ ${if (w.tWand < w.tFull) f"win ${w.tFull / w.tWand}%.1f×" else f"LOSS ${w.tWand
     val pairBBest = pooled(pairsB)
     val effMedianB = medianEff(pairsB)
     val total = results.map(_._2).sum
-    println(jsonLine(results, fixtures, sfDir, pairsA, Some(pairsB), wand))
+    println(jsonLine(results, fixtures, sfDir, pairsA, Some(pairsB), wand,
+      wandSkipped = wandSkipped))
 
     // Multi-line table blocks are substituted into the template AFTER
     // stripMargin via placeholder tokens: stripMargin strips any leading
@@ -480,7 +499,7 @@ Scaling efficiency (docs/sec ratio ÷ core ratio): **${p.eff}%.3f**"""
         .replace("@RUNS_B@", runsMd(pairsB))
         .replace("@PAIR_A@", pairMd(pairABest))
         .replace("@PAIR_B@", pairMd(pairBBest))
-        .replace("@WAND@", wandMd(wand, cpus))
+        .replace("@WAND@", wandMd(wand, cpus, skipped = wandSkipped))
         .replace("@FIXTURES@",
           fixtures.map { case (k, v) => f"| $k | $v%.3f |" }.mkString("\n"))
         .replace("@QUERIES@",

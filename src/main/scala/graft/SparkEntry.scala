@@ -54,14 +54,30 @@ object SparkEntry {
     * its caches explicitly). */
   private final class SessionCache[T] {
     private val m =
-      new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, T]]()
-    def getOrElseUpdate(s: SparkSession, key: String)(build: => T): T = m.synchronized {
-      val perSession = {
+      new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, T]]()
+    def getOrElseUpdate(s: SparkSession, key: String)(build: => T): T = {
+      val perSession = m.synchronized {
         val x = m.get(s)
         if (x != null) x
-        else { val y = scala.collection.mutable.Map.empty[String, T]; m.put(s, y); y }
+        else {
+          val y = new java.util.concurrent.ConcurrentHashMap[String, T]()
+          m.put(s, y); y
+        }
       }
-      perSession.getOrElseUpdate(key, build)
+      val existing = perSession.get(key)
+      if (existing != null) existing
+      else {
+        // build with NO monitor held: fixture builds call into OTHER
+        // session caches (triples → ranking → index), and holding this
+        // cache's lock through a nested build is an ABBA deadlock with a
+        // concurrent first-touch of the inner cache. The benign race
+        // (two threads building the same fixture) is safe — builds are
+        // idempotent, the disk write inside is builtDir-serialized, and
+        // the first insert wins so every caller sees one frame.
+        val built = build
+        val prev = perSession.putIfAbsent(key, built)
+        if (prev != null) prev else built
+      }
     }
   }
 
@@ -1698,13 +1714,18 @@ object SparkEntry {
          |  SELECT doc_id AS asset_id, text,
          |         octet_length(encode(text))::BIGINT AS nb FROM documents
          |), m AS (
-         |  SELECT asset_id, text, nb, (nb % 640 + 16)::INT AS width,
-         |         ((nb * 31) % 480 + 16)::INT AS height
+         |  -- empty payloads: the kernel emits a zero plane; replaying that
+         |  -- as chr(0) over a length-1 source keeps the index arithmetic
+         |  -- total (no modulo-by-zero) and reproduces the same bytes
+         |  SELECT asset_id, nb, (nb % 640 + 16)::INT AS width,
+         |         ((nb * 31) % 480 + 16)::INT AS height,
+         |         CASE WHEN nb = 0 THEN chr(0) ELSE text END AS src,
+         |         greatest(nb, 1) AS nb2
          |  FROM a
          |), px AS (
          |  SELECT asset_id, width, height,
-         |    [lpad(to_hex(ord(substr(text,
-         |       ((((i // 64) * height) // 48) * width + (((i % 64) * width) // 64)) % nb + 1,
+         |    [lpad(to_hex(ord(substr(src,
+         |       ((((i // 64) * height) // 48) * width + (((i % 64) * width) // 64)) % nb2 + 1,
          |       1))), 2, '0') for i in generate_series(0, 64*48 - 1)] AS hx
          |  FROM m
          |)
@@ -1751,12 +1772,14 @@ object SparkEntry {
     // the SAME generated polynomial text Training.losses evaluates
     // (IEEE-exact +,−,×,÷ only), so both engines produce bit-identical
     // doubles and the final floor-based snap cannot flip
-    "train_losses" ->
+    "train_losses" -> {
+      import graft.train.ExactMath.snap4Sql
       s"""$TriplesCte, $FscoresCte, nws AS (
-         |  SELECT t.qid, t.way, round(t.score, 4) AS ts, round(f.score, 4) AS ss
+         |  SELECT t.qid, t.way, ${snap4Sql("t.score")} AS ts, ${snap4Sql("f.score")} AS ss
          |  FROM triples t JOIN fscores f ON f.qid = t.qid AND f.doc_id = t.doc_id
          |), ${nwayLossCtes("nws")}, $IbRowsCte, $IbLossCtes
-         |$LossFinalSelect""".stripMargin,
+         |$LossFinalSelect""".stripMargin
+    },
 
     // the distillation-without-qrels mode: nway = the top-4 RANKED docs
     // (way = rank − 1), teacher = ranking score — every query then has a
@@ -1764,14 +1787,16 @@ object SparkEntry {
     // single-way wherever all top-10 docs are conjunctively relevant,
     // which is the norm on this corpus), so this row gates the
     // multi-element CE/KL polynomial path cross-engine
-    "train_losses_distill" ->
+    "train_losses_distill" -> {
+      import graft.train.ExactMath.snap4Sql
       s"""$TriplesCte, $FscoresCte, dnws AS (
          |  SELECT t.qid, (t.rank - 1)::INT AS way,
-         |         round(t.score, 4) AS ts, round(f.score, 4) AS ss
+         |         ${snap4Sql("t.score")} AS ts, ${snap4Sql("f.score")} AS ss
          |  FROM (SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= $TrainNway) t
          |  JOIN fscores f ON f.qid = t.qid AND f.doc_id = t.doc_id
          |), ${nwayLossCtes("dnws")}, $IbRowsCte, $IbLossCtes
          |$LossFinalSelect""".stripMargin
+    }
   )
 
   /** Shared IVF CTE — the data-driven quantizer (k = ⌈√N⌉ sampled seeds +
@@ -1961,9 +1986,9 @@ object SparkEntry {
   private val IbLossCtes: String = {
     import graft.train.ExactMath._
     s"""iagg AS (
-       |  SELECT qid, max(round(score, 4)) AS m_i,
-       |         list(round(score, 4) ORDER BY doc_id) AS xs,
-       |         max(CASE WHEN label = 1 THEN round(score, 4) END) AS si_pos
+       |  SELECT qid, max(${snap4Sql("score")}) AS m_i,
+       |         list(${snap4Sql("score")} ORDER BY doc_id) AS xs,
+       |         max(CASE WHEN label = 1 THEN ${snap4Sql("score")} END) AS si_pos
        |  FROM ibr GROUP BY 1
        |), ih AS (
        |  SELECT *, [${expReduceSql("x - m_i")} for x in xs] AS eis FROM iagg

@@ -26,18 +26,26 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
   */
 object Media {
 
+  /** The stub decode's dimension contract, shared by [[mediaMeta]] and
+    * [[resize]] (and replayed by the DuckDB oracles): one definition so
+    * the two operators can never disagree on an asset's plane shape. */
+  private def stubDims(payload: String): (Column, Column, Column) = {
+    val nb = length(col(payload)).cast("long")
+    (nb, (nb % 640 + 16).cast("int"), ((nb * 31) % 480 + 16).cast("int"))
+  }
+
   /** STUB DECODE: (n_bytes, format, width, height, n_frames, size_bucket)
     * from the payload — deterministic fake metadata standing in for a real
     * header parse (magic bytes → format, dims); see object doc. */
   def mediaMeta(assets: DataFrame, payload: String = "payload"): DataFrame = {
-    val nb = length(col(payload)).cast("long")
+    val (nb, w, h) = stubDims(payload)
     assets.select(
       col("asset_id"),
       nb.as("n_bytes"),
       element_at(array(lit("jpeg"), lit("png"), lit("wav"), lit("mp4")),
         (nb % 4 + 1).cast("int")).as("format"),
-      (nb % 640 + 16).cast("int").as("width"),
-      ((nb * 31) % 480 + 16).cast("int").as("height"),
+      w.as("width"),
+      h.as("height"),
       (nb % 16 + 1).cast("int").as("n_frames"),
       floor(log2(greatest(nb, lit(2)))).cast("int").as("size_bucket"))
   }
@@ -73,9 +81,7 @@ object Media {
     * plane construction, none of the resample or the plan. */
   def resize(assets: DataFrame, targetW: Int = 224, targetH: Int = 224,
              payload: String = "payload"): DataFrame = {
-    val nb = length(col(payload)).cast("long")
-    val w = (nb % 640 + 16).cast("int")
-    val h = ((nb * 31) % 480 + 16).cast("int")
+    val (_, w, h) = stubDims(payload)
     assets.select(
       col("asset_id"),
       w.as("width"), h.as("height"),

@@ -186,8 +186,10 @@ object Training {
     *    [[inBatchScores]] with the own positive as the label
     *    (compute_ib_loss, colbert.py:71-87).
     *
-    * All softmaxes are max-shifted; score inputs are pre-rounded to 4
-    * decimals so both engines of the correctness gate start from
+    * All softmaxes are max-shifted; score inputs are pre-SNAPPED to the
+    * 4-decimal grid with [[ExactMath.snap4Sql]] — floor-based, itself
+    * engine-exact, unlike `round(double, 4)` whose half-up path differs
+    * across engines — so both engines of the correctness gate start from
     * IDENTICAL doubles; folds run in canonical order (way asc / doc_id
     * asc) so the sums are layout-stable. Every TRANSCENDENTAL is
     * evaluated through [[ExactMath]] — fixed-order Horner polynomials
@@ -210,14 +212,14 @@ object Training {
     // bit-identical to the two-sided plan.
     val nRows = nway.select(col("qid"),
       struct(col("way").cast("int").as("way"),
-        round(col("student"), 4).as("s"), round(col("teacher"), 4).as("t")).as("nx"),
+        expr(snap4Sql("student")).as("s"), expr(snap4Sql("teacher")).as("t")).as("nx"),
       lit(null).cast("struct<doc_id:bigint,s:double>").as("ix"),
       lit(null).cast("double").as("pos_s"))
     val iRows = ib.select(col("qid"),
       lit(null).cast("struct<way:int,s:double,t:double>").as("nx"),
       struct(col("doc_id").cast("bigint").as("doc_id"),
-        round(col("score"), 4).as("s")).as("ix"),
-      when(col("label") === 1, round(col("score"), 4)).as("pos_s"))
+        expr(snap4Sql("score")).as("s")).as("ix"),
+      when(col("label") === 1, expr(snap4Sql("score"))).as("pos_s"))
     nRows.unionByName(iRows)
       // the previous plan's inner join on qid dropped null-qid rows (SQL
       // null keys never match); groupBy would instead collect them into

@@ -57,5 +57,10 @@ class MediaSpec extends AnyFunSuite {
     val plane = r.getAs[Array[Byte]](7)
     assert(plane.length == 224 * 112)
     assert(plane.forall(_ == 'x'.toByte)) // uniform source → uniform plane
+    // empty payload → full-size ZERO plane (the oracle replays this as a
+    // chr(0) source, so the contract must be exactly all-zero bytes)
+    val empty = Media.resize(assets(8L -> ""), targetW = 64, targetH = 48)
+      .head.getAs[Array[Byte]](7)
+    assert(empty.length == 64 * 48 && empty.forall(_ == 0))
   }
 }

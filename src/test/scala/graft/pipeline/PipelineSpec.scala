@@ -107,20 +107,32 @@ class PipelineSpec extends AnyFunSuite {
     // rounds, so the reliable path truncates lineage repeatedly
     val chain = (0L until 63L).map(i => (i, i + 1)) ++ Seq((200L, 201L))
     val pairs = chain.toDF("doc_a", "doc_b")
-    if (spark.sparkContext.getCheckpointDir.isEmpty) {
-      // no checkpoint dir configured → must refuse, not silently recompute
-      intercept[IllegalArgumentException] {
-        Dedup.connectedComponents(pairs, reliableCheckpoint = true)
-      }
+    // hard precondition, not a silent skip: the refusal branch below is
+    // only meaningful while no checkpoint dir is set — if suite ordering
+    // ever changes that, this must fail loudly so the test gets moved
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "another test set a checkpoint dir; the refusal branch needs a clean context")
+    // no checkpoint dir configured → must refuse, not silently recompute
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, reliableCheckpoint = true)
     }
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
-    val reliable = Dedup.connectedComponents(pairs, reliableCheckpoint = true)
-      .as[(Long, Long)].collect().toMap
-    val local = Dedup.connectedComponents(pairs)
-      .as[(Long, Long)].collect().toMap
-    assert(reliable == local)
-    assert((0L to 63L).forall(reliable(_) == 0L))
+    try {
+      val reliable = Dedup.connectedComponents(pairs, reliableCheckpoint = true)
+        .as[(Long, Long)].collect().toMap
+      val local = Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(reliable == local)
+      assert((0L to 63L).forall(reliable(_) == 0L))
+    } finally {
+      // results are collected; reclaim the checkpoint files (the dir
+      // setting itself stays — SparkContext has no public unset)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
   }
 
   test("neardup clusters: planted clone triples resolve with the longest doc as keeper") {

@@ -112,8 +112,8 @@ class TrainingSpec extends AnyFunSuite {
     val ibByQ = ib.groupBy(_._1)
     (byQ.keySet intersect ibByQ.keySet).map { q =>
       val rows = byQ(q).sortBy(_._2) // way asc — the engine's sort_array order
-      val ts = rows.map(_._3)
-      val ss = rows.map(_._4)
+      val ts = rows.map(r => snap4(r._3)) // inputs enter through the 4-grid snap
+      val ss = rows.map(r => snap4(r._4))
       val mS = ss.max; val mT = ts.max
       val ets = ts.map(x => expExact(x - mT))
       val zs = ss.map(x => expExact(x - mS)).foldLeft(0.0)(_ + _)
@@ -124,10 +124,10 @@ class TrainingSpec extends AnyFunSuite {
         a + ets(i) / zt * ((ts(i) - mT - lzt) - (ss(i) - mS - lzs))
       }
       val ibRows = ibByQ(q).sortBy(_._2) // doc_id asc
-      val xs = ibRows.map(_._3)
+      val xs = ibRows.map(r => snap4(r._3))
       val mI = xs.max
       val zi = xs.map(x => expExact(x - mI)).foldLeft(0.0)(_ + _)
-      val siPos = ibRows.collect { case (_, _, sc, 1) => sc }.max
+      val siPos = ibRows.collect { case (_, _, sc, 1) => snap4(sc) }.max
       val ibCe = -(siPos - mI - lnExact(zi))
       q -> ((ce, kl, ibCe))
     }.toMap
